@@ -1,0 +1,95 @@
+"""Basic operator suite (mirror of src/{map,filter,flatmap,accumulator}_test/
+and the micro-1 stateless pipeline, FIXTURES.md F5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+import oracle
+from tests.conftest import assert_frames_equal
+from windflow_spark.api import Pipe
+from windflow_spark.operators.core import accumulate, filter_, flat_map, map_
+
+
+def test_map_filter_flatmap_micro1(spark, cb_grid):
+    """F5: Map value+1; Filter id%2==0; FlatMap ×2 copies (value*2, value*3).
+    Expected count = keys*len/2*2 (test_micro_1.cpp:96-136)."""
+    df = spark.createDataFrame(cb_grid)
+    out = flat_map(
+        filter_(map_(df, value=F.col("value") + 1), F.col("id") % 2 == 0),
+        F.array(F.col("value") * 2, F.col("value") * 3),
+        alias="out_value",
+        keep=["key", "id"],
+    ).toPandas()
+    keys = cb_grid["key"].nunique()
+    length = cb_grid["id"].max() + 1
+    assert len(out) == keys * length // 2 * 2
+    # spot-check: id=4 → value=5 → emits 10 and 15
+    vals = sorted(out[(out.key == 0) & (out.id == 4)]["out_value"])
+    assert vals == [10, 15]
+
+
+def test_flatmap_zero_emissions(spark):
+    """Shipper with 0 emissions drops the row (shipper.hpp:63-77)."""
+    df = spark.createDataFrame(pd.DataFrame({"x": [1, 2, 3]}))
+    out = flat_map(
+        df, F.when(F.col("x") % 2 == 0, F.array(F.col("x"))).otherwise(F.array().cast("array<long>")),
+        alias="y", keep=["x"],
+    ).toPandas()
+    assert out["x"].tolist() == [2]
+
+
+def test_accumulator_vs_oracle(spark, cb_grid):
+    """F4: running per-key sum, one output per input
+    (accumulator.hpp:157-192)."""
+    df = spark.createDataFrame(cb_grid)
+    got = accumulate(df, ["key"], ["id"], {"running": F.sum("value")}).toPandas()
+    want = oracle.rolling_reduce(cb_grid, ["key"], ["id"], "value", "sum")
+    assert len(got) == len(cb_grid)
+    assert_frames_equal(got, want, ["key", "id"])
+
+
+def test_per_turn_text_equality(spark, transcripts):
+    """input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering — Map rewrites text deterministically."""
+    df = spark.createDataFrame(transcripts)
+    got = (
+        map_(df, text=F.upper("text"))
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+    )
+    want = transcripts.sort_values(["conv_id", "turn_idx"], kind="stable")
+    assert got["text"].tolist() == want["text"].str.upper().tolist()
+
+
+def test_pipe_fluent_chain(spark, transcripts):
+    """MultiPipe composition: source→map→filter→key_by→win_seq→ordered."""
+    from windflow_spark.operators.windows import WinSpec
+
+    df = spark.createDataFrame(transcripts)
+    out = (
+        Pipe.source(df)
+        .map(text_len=F.length("text"))
+        .filter(F.col("role") != "tool")
+        .key_by("conv_id")
+        .win_seq("turn_idx", WinSpec("cb", 8, 8), aggs={"sum_len": F.sum("text_len")})
+        .ordered("conv_id", "gwid")
+        .collect_pandas()
+    )
+    assert len(out) > 0
+    assert list(out.columns) == ["conv_id", "gwid", "sum_len", "win_end"]
+    # ordered emission: sorted by (conv_id, gwid)
+    assert out.equals(out.sort_values(["conv_id", "gwid"], kind="stable").reset_index(drop=True))
+
+
+def test_union_pipes(spark, cb_grid):
+    """unionMultiPipes (multipipe.hpp:901-940): even/odd generator merge
+    (union_test analogue)."""
+    df = spark.createDataFrame(cb_grid)
+    even = Pipe.source(df.filter(F.col("id") % 2 == 0))
+    odd = Pipe.source(df.filter(F.col("id") % 2 == 1))
+    merged = even.union_(odd).collect_pandas()
+    assert len(merged) == len(cb_grid)
+    assert merged["value"].sum() == cb_grid["value"].sum()

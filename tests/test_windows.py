@@ -1,0 +1,143 @@
+"""Window engine vs pandas oracle — row-for-row (SURVEY.md §5 port).
+
+Covers CB and TB × {tumbling, sliding, hopping} × {INC, NIC}, the
+plan-variant agreement matrix (win_seq == pane_farm == win_mapreduce),
+and the per-key gwid-consecutiveness assertion (sum_cb.hpp:142-153).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import oracle
+from tests.conftest import assert_frames_equal
+from windflow_spark.operators.windows import WinSpec, win_seq, tb_window_native
+from windflow_spark.operators.pane_farm import pane_farm
+from windflow_spark.operators.win_mapreduce import win_mapreduce
+
+SHAPES = [
+    pytest.param(16, 4, id="sliding"),
+    pytest.param(10, 10, id="tumbling"),
+    pytest.param(4, 10, id="hopping"),
+]
+
+
+def _oracle_sum(df, unit, win, slide):
+    return oracle.windowed_agg(
+        df, ["key"], unit, win, slide,
+        lambda w: {"sum_value": w["value"].sum(), "cnt": len(w)},
+    )
+
+
+@pytest.mark.parametrize("win,slide", SHAPES)
+@pytest.mark.parametrize("kind", ["cb", "tb"])
+def test_win_seq_inc_vs_oracle(spark, cb_grid, tb_grid, kind, win, slide):
+    pdf = cb_grid if kind == "cb" else tb_grid
+    unit = "id" if kind == "cb" else "ts"
+    df = spark.createDataFrame(pdf)
+    got = win_seq(
+        df, ["key"], unit, WinSpec(kind, win, slide),
+        aggs={"sum_value": F.sum("value"), "cnt": F.count(F.lit(1))},
+    ).toPandas()
+    want = _oracle_sum(pdf, unit, win, slide)
+    assert_frames_equal(got, want, ["key", "gwid"])
+
+
+@pytest.mark.parametrize("win,slide", [(16, 4), (10, 10)])
+def test_win_seq_nic_vs_oracle(spark, cb_grid, win, slide):
+    """NIC path: UDF sees whole window content (Iterable analogue)."""
+    df = spark.createDataFrame(cb_grid)
+
+    def nic(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "gwid": [pdf["gwid"].iloc[0]],
+                "sum_value": [pdf["value"].sum()],
+                "cnt": [len(pdf)],
+            }
+        )
+
+    got = win_seq(
+        df, ["key"], "id", WinSpec("cb", win, slide),
+        nic_fn=nic, nic_schema="key long, gwid long, sum_value long, cnt long",
+    ).toPandas()
+    want = _oracle_sum(cb_grid, "id", win, slide)
+    assert_frames_equal(got, want, ["key", "gwid"])
+
+
+def test_plan_variants_agree(spark, tb_grid):
+    """win_seq == pane_farm == win_mapreduce — the reference's 30-config
+    invariant (test_all_cb.cpp:161-825) collapsed to plan variants."""
+    df = spark.createDataFrame(tb_grid)
+    spec = WinSpec("tb", 16, 4)
+    partial = {"p_sum": F.sum("value"), "p_cnt": F.count(F.lit(1))}
+    merge = {"sum_value": F.sum("p_sum"), "cnt": F.sum("p_cnt")}
+    base = win_seq(df, ["key"], "ts", spec,
+                   aggs={"sum_value": F.sum("value"), "cnt": F.count(F.lit(1))}).toPandas()
+    pf = pane_farm(df, ["key"], "ts", spec, partial, merge).toPandas()
+    wm = win_mapreduce(df, ["key"], "ts", spec, partial, merge, degree=4).toPandas()
+    assert_frames_equal(pf, base, ["key", "gwid"])
+    assert_frames_equal(wm, base, ["key", "gwid"])
+
+
+def test_parallelism_invariance(cb_grid):
+    """Identical results across parallelism levels
+    (test_pipe_kf_tb.cpp:263-317 analogue)."""
+    from windflow_spark.session import get_spark
+
+    spark = get_spark("wf-par", master="local[4]")
+    results = []
+    for parts in (2, 16):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        df = spark.createDataFrame(cb_grid).repartition(parts)
+        r = win_seq(df, ["key"], "id", WinSpec("cb", 16, 4),
+                    aggs={"sum_value": F.sum("value")}).toPandas()
+        results.append(r)
+    assert_frames_equal(results[0], results[1], ["key", "gwid"])
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+
+def test_gwid_consecutive_per_key(spark, cb_grid):
+    """Per-key gwids consecutive from 0 (sum_cb.hpp:142-153)."""
+    df = spark.createDataFrame(cb_grid)
+    got = win_seq(df, ["key"], "id", WinSpec("cb", 10, 10),
+                  aggs={"cnt": F.count(F.lit(1))}).toPandas()
+    for _, g in got.groupby("key"):
+        wids = sorted(g["gwid"])
+        assert wids == list(range(len(wids)))
+
+
+def test_tb_native_window_parity(spark, transcripts):
+    """F.window (native, streaming-compatible) == explode-based win_seq
+    on real timestamps (epoch-micros units)."""
+    df = spark.createDataFrame(transcripts)
+    spec_s = WinSpec("tb", 30, 10)  # 30s window, 10s slide
+    native = tb_window_native(
+        df, ["conv_id"], "ts", spec_s,
+        aggs={"cnt": F.count(F.lit(1)), "sum_len": F.sum(F.length("text"))},
+        unit="second",
+    ).toPandas()
+    spec_us = WinSpec("tb", 30_000_000, 10_000_000)
+    exploded = win_seq(
+        df.withColumn("us", F.unix_micros("ts")), ["conv_id"], "us", spec_us,
+        aggs={"cnt": F.count(F.lit(1)), "sum_len": F.sum(F.length("text"))},
+        with_win_end=False,
+    ).toPandas()
+    assert_frames_equal(native, exploded, ["conv_id", "gwid"])
+
+
+def test_hopping_discards_gap_rows(spark, cb_grid):
+    """Hopping windows (win<slide) discard out-of-window tuples
+    (includes/win_seq.hpp:326-338): total count < input count."""
+    df = spark.createDataFrame(cb_grid)
+    got = win_seq(df, ["key"], "id", WinSpec("cb", 4, 10),
+                  aggs={"cnt": F.count(F.lit(1))}).toPandas()
+    n_keys = cb_grid["key"].nunique()
+    length = cb_grid["id"].max() + 1
+    # per key: ids with id % 10 < 4 are kept
+    expect_total = n_keys * sum(1 for i in range(length) if i % 10 < 4)
+    assert got["cnt"].sum() == expect_total

@@ -1,0 +1,105 @@
+"""Basic (non-windowed) operators: Map, Filter, FlatMap, Accumulator, keyBy.
+
+Reference semantics (WindFlow, /root/reference):
+- Map: 1→1 transform, in-place or non-in-place (includes/map.hpp:59-68)
+- Filter: drop tuples failing a predicate (includes/filter.hpp:58-63, 127-132)
+- FlatMap: 1→0..N via a Shipper handle (includes/flatmap.hpp:60-65, 111-137)
+- Accumulator: keyed rolling reduce — emits the running value after EVERY
+  input tuple (includes/accumulator.hpp:101-106, emit at :181)
+- keyBy routing: key→replica hash routing (includes/standard.hpp:62-84)
+
+Spark-first design: each operator is a DataFrame→DataFrame combinator.
+Stateless ops are plain Catalyst expressions (whole-stage codegen, no
+Python in the hot path); vectorized pandas-UDF variants exist for UDF
+logic that native expressions can't express. The Accumulator is a
+running window aggregate (no per-row Python, no driver loop), which at
+cluster scale is a single shuffle by key + in-partition sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+ColumnLike = Column | str
+
+
+def map_(df: DataFrame, **cols: ColumnLike) -> DataFrame:
+    """Map operator: 1→1 transform expressed as column (re)definitions.
+
+    ``map_(df, text=F.upper("text"), n=F.length("text"))`` mirrors the
+    reference's in-place Map (includes/map.hpp:59-63): existing columns
+    are replaced, new ones appended. Stays entirely JVM-side.
+    """
+    return df.withColumns({k: F.expr(v) if isinstance(v, str) else v for k, v in cols.items()})
+
+
+def map_pandas(df: DataFrame, fn: Callable, schema) -> DataFrame:
+    """Map/transform via an Arrow-batched pandas UDF over whole partitions.
+
+    ``fn(iter_of_pandas) -> iter_of_pandas`` (mapInPandas contract). Use
+    only when native expressions can't express the transform; batch
+    granularity is the Arrow batch, never per-row Python.
+    """
+    return df.mapInPandas(fn, schema=schema)
+
+
+def filter_(df: DataFrame, predicate: ColumnLike) -> DataFrame:
+    """Filter operator: keep rows where predicate holds.
+
+    Mirrors includes/filter.hpp:127-132 (drop on false). Native Catalyst
+    predicate → parquet pushdown when applied at the scan.
+    """
+    return df.filter(F.expr(predicate) if isinstance(predicate, str) else predicate)
+
+
+def flat_map(df: DataFrame, emit: ColumnLike, alias: str, keep: Sequence[str] | None = None) -> DataFrame:
+    """FlatMap operator: 1→0..N rows.
+
+    ``emit`` is an array-valued expression; each element becomes one
+    output row (empty array ⇒ 0 rows — the Shipper-with-no-emissions
+    case, includes/shipper.hpp:63-77). Equivalent to the reference's
+    FlatMap UDF shipping 0..N results per input (includes/flatmap.hpp:111-137),
+    but stays in codegen via explode().
+    """
+    emit_col = F.expr(emit) if isinstance(emit, str) else emit
+    keep_cols = [F.col(c) for c in (keep if keep is not None else df.columns)]
+    return df.select(*keep_cols, F.explode(emit_col).alias(alias))
+
+
+def key_by(df: DataFrame, *keys: str, num_partitions: int | None = None) -> DataFrame:
+    """keyBy routing: hash-partition the stream by key columns.
+
+    Mirrors includes/standard.hpp:62-84 (``routing(k,n)=hash(k)%n``).
+    In Spark an explicit repartition is only needed to force key
+    co-location for stateful pandas kernels; groupBy inserts its own
+    exchange otherwise. Exposed for plan control (Key_Farm analogue).
+    """
+    cols = [F.col(k) for k in keys]
+    return df.repartition(num_partitions, *cols) if num_partitions else df.repartition(*cols)
+
+
+def accumulate(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[ColumnLike],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Accumulator: keyed rolling reduce emitting the running value after
+    every input tuple (includes/accumulator.hpp:157-192, emit at :181).
+
+    ``aggs`` maps output column name → aggregate Column (e.g.
+    ``{"running_sum": F.sum("value")}``); each is evaluated over the
+    growing per-key prefix ordered by ``order_by``. One output row per
+    input row. Physical plan: one shuffle on ``keys`` + in-partition
+    sort + running aggregate — scales as a single exchange.
+    """
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(*[F.expr(o) if isinstance(o, str) else o for o in order_by])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumns({name: agg.over(w) for name, agg in aggs.items()})

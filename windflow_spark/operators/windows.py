@@ -1,0 +1,188 @@
+"""The window engine: Win_Seq semantics as DataFrame plan shapes.
+
+Reference window algebra (includes/window.hpp:49-88):
+- window ``w`` (gwid) covers units ``[w*slide, w*slide + win)``, ``w >= 0``
+- unit = per-key monotone id for count-based (CB) windows
+  (Triggerer_CB, includes/window.hpp:49-67), event-time ts for
+  time-based (TB) windows (Triggerer_TB, includes/window.hpp:70-88)
+- shapes: tumbling (win == slide), sliding (win > slide), hopping
+  (win < slide; units falling in an inter-window gap are DISCARDED —
+  includes/win_seq.hpp:326-338)
+- a fired window's result is stamped ``(key, gwid, w*slide + win - 1)``
+  (includes/window.hpp:120-124)
+- at EOS all still-open (partial) windows are flushed
+  (includes/win_seq.hpp:432-474) — in batch mode every non-empty window
+  group is emitted naturally, which IS that rule.
+
+Spark mapping (SURVEY.md §2.2 row 7):
+- tumbling: ``gwid = floor(t / slide)`` — a derived column, zero row
+  amplification, one hash-aggregate shuffle.
+- sliding/hopping: each row belongs to wids
+  ``[floor((t - win)/slide) + 1, floor(t/slide)]`` (clamped at 0; empty
+  range ⇒ hopping discard). We explode that wid sequence — at most
+  ``ceil(win/slide)`` copies per row, which is exactly the multicast
+  factor of the reference's WF_Emitter (includes/wf_nodes.hpp:134-172)
+  and of Spark's own internal sliding ``window()`` expansion.
+- INC (incremental) UDFs → native hash aggregates with map-side partial
+  aggregation; NIC (non-incremental, sees whole window) UDFs →
+  ``applyInPandas`` per (key, gwid) group, Arrow-batched.
+
+Scale posture: the groupBy(key, gwid) shuffle is the only exchange;
+map-side combine shrinks it for INC aggregates. Hot keys are handled by
+the Pane_Farm / Win_MapReduce rewrites (pane_farm.py, win_mapreduce.py)
+which produce identical output with pre-aggregation before the skewed
+exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+GWID = "gwid"
+WIN_END = "win_end"
+
+
+@dataclass(frozen=True)
+class WinSpec:
+    """Window specification: ``(kind, win, slide)`` in units (CB: tuples,
+    TB: integer time units, e.g. microseconds). Mirrors
+    includes/builders.hpp:606-633 (withCBWindow / withTBWindow)."""
+
+    kind: str  # "cb" | "tb"
+    win: int
+    slide: int
+
+    def __post_init__(self) -> None:
+        if self.kind not in ("cb", "tb"):
+            raise ValueError(f"kind must be 'cb' or 'tb', got {self.kind!r}")
+        if self.win <= 0 or self.slide <= 0:
+            raise ValueError("win and slide must be positive")
+
+    @property
+    def tumbling(self) -> bool:
+        return self.win == self.slide
+
+
+def cb_ids(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str], id_col: str = "wf_id") -> DataFrame:
+    """Derive the per-key monotone CB id (0-based) when the input does not
+    carry one. Mirrors TS_RENUMBERING (includes/orderingNode.hpp:167-175):
+    ids regenerated per key in (ts, tiebreak) order."""
+    w = Window.partitionBy(*keys).orderBy(*[F.expr(o) if isinstance(o, str) else o for o in order_by])
+    return df.withColumn(id_col, F.row_number().over(w) - F.lit(1))
+
+
+def _unit(col: Column | str) -> Column:
+    return F.expr(col) if isinstance(col, str) else col
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Event time as integer microseconds since the epoch — the TB window
+    unit. Handles TIMESTAMP_NTZ (what parquet scans yield) by casting to
+    session-time timestamp first (session tz is pinned to UTC in
+    session.get_spark, so NTZ values are read as UTC — matching how
+    DuckDB/pandas treat naive timestamps)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def assign_wids(
+    df: DataFrame,
+    unit_col: Column | str,
+    spec: WinSpec,
+    origin: int = 0,
+    gwid_col: str = GWID,
+) -> DataFrame:
+    """Attach the window id(s) each row belongs to.
+
+    ``unit_col`` is the CB id or the TB time in integer units;
+    ``origin`` shifts the window origin (reference windows start at the
+    key's initial id/ts; we default to 0 / epoch — callers pass an
+    origin for parity fixtures). Tumbling adds one column; sliding
+    explodes ≤ ceil(win/slide) wids; hopping rows in a gap get an empty
+    wid range and are discarded (includes/win_seq.hpp:326-338).
+    """
+    t = _unit(unit_col).cast("long") - F.lit(origin).cast("long")
+    win, slide = F.lit(spec.win).cast("long"), F.lit(spec.slide).cast("long")
+    if spec.tumbling:
+        return df.withColumn(gwid_col, F.floor(t / slide))
+    last = F.floor(t / slide)
+    first = F.greatest(F.lit(0).cast("long"), F.floor((t - win) / slide) + F.lit(1))
+    wids = F.when(first <= last, F.sequence(first, last)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return df.withColumn(gwid_col, F.explode(wids))
+
+
+def win_end_expr(spec: WinSpec, origin: int = 0, gwid_col: str = GWID) -> Column:
+    """Result-timestamp stamp of a fired window: ``w*slide + win - 1``
+    (includes/window.hpp:124), shifted back by the origin."""
+    return (F.col(gwid_col) * F.lit(spec.slide) + F.lit(spec.win - 1) + F.lit(origin)).cast("long")
+
+
+def win_seq(
+    df: DataFrame,
+    keys: Sequence[str],
+    unit_col: Column | str,
+    spec: WinSpec,
+    aggs: dict[str, Column] | None = None,
+    nic_fn: Callable | None = None,
+    nic_schema=None,
+    origin: int = 0,
+    with_win_end: bool = True,
+) -> DataFrame:
+    """Win_Seq: sequential windowed aggregation per key
+    (includes/win_seq.hpp:58-525, core loop :268-430).
+
+    INC path (``aggs``): native hash aggregate over (keys, gwid) —
+    map-side partial agg + one shuffle, Catalyst/Tungsten codegen.
+    NIC path (``nic_fn``): the UDF sees the whole window content as a
+    pandas DataFrame per (key, gwid) group (the Iterable<tuple_t> of
+    includes/iterable.hpp:53-223), via applyInPandas.
+
+    Batch mode emits every non-empty window — the EOS partial-window
+    flush (includes/win_seq.hpp:432-474) for free.
+    """
+    if (aggs is None) == (nic_fn is None):
+        raise ValueError("provide exactly one of aggs= (INC) or nic_fn= (NIC)")
+    widdf = assign_wids(df, unit_col, spec, origin=origin)
+    if aggs is not None:
+        out = widdf.groupBy(*keys, GWID).agg(*[c.alias(n) for n, c in aggs.items()])
+    else:
+        out = widdf.groupBy(*keys, GWID).applyInPandas(nic_fn, schema=nic_schema)
+    if with_win_end:
+        out = out.withColumn(WIN_END, win_end_expr(spec, origin=origin))
+    return out
+
+
+def tb_window_native(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    spec: WinSpec,
+    aggs: dict[str, Column],
+    unit: str = "microsecond",
+) -> DataFrame:
+    """TB windows via Spark's native ``F.window`` (timestamp column).
+
+    Produces the same window set as :func:`assign_wids` with
+    ``unit_col = unix_micros(ts)`` and origin 0 — Spark aligns window
+    starts to multiples of ``slide`` from the epoch. Used on the
+    streaming path where ``F.window`` integrates with watermarks and the
+    state store; gwid is recovered from the window start for parity.
+    """
+    w = F.window(
+        F.col(ts_col),
+        f"{spec.win} {unit}",
+        f"{spec.slide} {unit}",
+    )
+    out = df.groupBy(*[F.col(k) for k in keys], w.alias("w")).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    micros_per = {"microsecond": 1, "millisecond": 1_000, "second": 1_000_000}[unit]
+    return out.withColumn(
+        GWID, (F.unix_micros(F.col("w.start")) / F.lit(spec.slide * micros_per)).cast("long")
+    ).drop("w")
