@@ -1,0 +1,216 @@
+"""Deduplication for training-data pipelines: exact, fingerprint,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale posture (100 TB): every method is a constant number of shuffles
+with pre-aggregation —
+- exact/fingerprint: one hash-aggregate on a digest (no text shuffled);
+- MinHash: shingle explode → per-(doc, hashfn) min (map-side combined)
+  → band buckets → candidate pairs only within buckets (never the full
+  O(n²) cross join);
+- SimHash: one Arrow-batched pandas UDF pass + bucket join on rotated
+  prefixes;
+- n-gram Jaccard: restricted to candidate pairs (or small inputs).
+
+All hash material is md5-based so a DuckDB oracle reproduces signatures
+exactly (Spark's hash() is engine-private; md5 is portable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from windflow_spark.functions.text import fingerprint, tokens
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct text — keeper = min id, plus
+    duplicate count. Digest-groupBy so only 32-byte keys shuffle."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Near-exact dedup on the normalized-text fingerprint."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: posexplode tokens, then
+    n-token windows via lead() — pure Catalyst, order-exact."""
+    toked = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    sh = F.concat_ws(" ", "tok", *[F.lead("tok", i).over(w) for i in range(1, n)])
+    return (
+        toked.withColumn("shingle", sh)
+        .withColumn("_last", F.lead("tok", n - 1).over(w))
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, "shingle")
+        .distinct()
+    )
+
+
+def minhash_signatures(shingled: DataFrame, id_col: str, k: int = 32) -> DataFrame:
+    """MinHash signature per doc: hash function j = md5(j || '|' || shingle),
+    signature element = lexicographic min. Output: (id, j, minhash)."""
+    return (
+        shingled.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+            F.col("shingle"),
+        )
+        .select(
+            id_col,
+            "j",
+            F.md5(F.concat_ws("|", F.col("j").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy(id_col, "j")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature (band = j div rows_per_band; band key = md5 of
+    the concatenated in-order minhashes) and emit candidate pairs
+    (a < b) sharing ≥1 band bucket. The self-join runs bucket-local —
+    a (band, band_key) hash join, never a global cross product."""
+    banded = (
+        signatures.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(F.concat_ws(",", F.array_sort(F.collect_list(F.concat_ws(":", F.col("j").cast("string"), "minhash"))))).alias("band_key")
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    shingled: DataFrame, id_col: str, threshold: float = 0.5, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Jaccard similarity on distinct shingle sets for pairs (a < b).
+
+    With ``candidates`` (e.g. LSH output) the join is restricted to
+    candidate pairs — the scale path. Without, an inverted-index
+    self-join on shingle (still never a raw cross join; cost ~ sum of
+    squared posting-list lengths)."""
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash per doc via an Arrow-batched pandas UDF (the per-token
+    bit-vote loop is genuinely non-relational): token hash = first 16
+    hex chars of md5 (64 bits), bit votes ±1, sign → signature bit.
+    Deterministic (md5-based, order-independent sum)."""
+    import hashlib
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            votes = np.zeros(bits, dtype=np.int64)
+            for tok in (t or "").split():
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+                for b in range(bits):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            sig = 0
+            for b in range(bits):
+                if votes[b] > 0:
+                    sig |= 1 << b
+            out[i] = np.int64(np.uint64(sig).astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket join on 16-bit bands (4 bands
+    of a 64-bit signature — Hamming ≤ 3 guarantees ≥1 identical band),
+    then exact Hamming filter via bit_count(xor)."""
+    banded = sims.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bkey"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bkey")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,115 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The container has no image/audio codecs, so the decode kernels are
+STUBS behind ``_HAVE_CODECS`` — either a clearly-marked
+NotImplementedError or a deterministic fake (seeded from the payload
+digest) — but the Spark-side plumbing (schema, partition sizing, UDF
+signature, batch shape) is real and tested. On a cluster with codecs
+installed, only ``_decode_image_real`` / ``_extract_audio_real`` need
+filling in.
+
+Scale posture: binary payloads never pass through Python row-at-a-time;
+mapInPandas streams Arrow batches, and ``maxRecordsPerBatch`` bounds
+batch memory. Feature extraction emits small fixed-width rows so the
+downstream shuffle moves features, not media bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # real codecs unavailable in this container; plumbing is real
+    import PIL.Image  # noqa: F401
+
+    _HAVE_CODECS = True
+except ImportError:
+    _HAVE_CODECS = False
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, digest string, "
+    "feat array<float>, decoded boolean"
+)
+
+
+def synth_media(df: DataFrame, id_col: str, text_col: str, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table from a text table: payload =
+    utf-8 bytes (opaque binary stand-in), metadata derived from length.
+    Lets the full pipeline run end-to-end without codecs."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(t, "utf-8").alias("payload"),
+        (F.length(t) % 640 + 32).cast("int").alias("width"),
+        (F.length(t) % 480 + 32).cast("int").alias("height"),
+        (F.length(t) * 10).cast("int").alias("duration_ms"),
+    )
+
+
+def _fake_feature(payload: bytes, n: int = 8) -> np.ndarray:
+    """Deterministic stand-in for a decoded-media feature vector: seeded
+    from the payload digest. Replace with a real embedding on a cluster
+    with codecs."""
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
+    return np.random.default_rng(seed).standard_normal(n).astype(np.float32)
+
+
+def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
+    """Decode + featurize media via mapInPandas (Arrow batches).
+
+    Real decode is stubbed: without codecs, features come from
+    ``_fake_feature`` and ``decoded=False``; byte-level metadata
+    (n_bytes, digest) is real either way."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            if _HAVE_CODECS:
+                raise NotImplementedError(
+                    "real media decode requires codec libs; install PIL/librosa "
+                    "and implement _decode_image_real/_extract_audio_real"
+                )
+            feats = [_fake_feature(p, feat_dim).tolist() for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "digest": payloads.map(lambda p: hashlib.md5(p).hexdigest()),
+                    "feat": feats,
+                    "decoded": False,
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    timestamp (explode of a sequence — no Python). The actual frame
+    decode would plug into extract_features per frame."""
+    return media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+        ).alias("frame_ms"),
+    )

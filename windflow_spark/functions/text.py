@@ -1,0 +1,103 @@
+"""Text analysis for large-scale training-data pipelines: tokenization,
+quality scoring, language-ID, fingerprinting.
+
+All hot-path logic is native Catalyst expressions (codegen, pushdown-
+friendly); every function is deterministic so a DuckDB SQL oracle can
+reproduce it bit-for-bit. No per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# whitespace tokenization shared by all metrics (oracle: string_split_regex)
+WS = r"\s+"
+# BPE-ish lexer: runs of letters | runs of digits | single non-alnum glyph
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny public stopword marker sets for the language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es"),
+    "de": ("der", "die", "das", "und", "ein", "ist", "nicht", "mit"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), WS)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish lexer tokens (letters/digits/punct glyphs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: char/token counts, mean token
+    length, punctuation ratio, stopword ratio. Typical pre-training
+    quality-filter inputs; all ratios double-precision."""
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_char = F.length(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop))
+    return df.withColumns(
+        {
+            "n_chars_m": n_char.cast("long"),
+            "n_tokens": n_tok.cast("long"),
+            "mean_token_len": (
+                (n_char - (n_tok - F.lit(1))) / n_tok
+            ).cast("double"),
+            "punct_ratio": (n_punct / n_char).cast("double"),
+            "stopword_hits": n_stop.cast("long"),
+        }
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-token hit count per language (distinct-token hits, so the
+    score is set-based and order-independent)."""
+    toks = F.array_distinct(tokens(col))
+    return {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in markers]))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language-ID: argmax of marker hits with a fixed
+    priority order (en > fr > es > de) for ties; 'und' when all zero.
+    Deterministic — reproducible in ANSI SQL."""
+    s = lang_scores(col)
+    best = F.greatest(*s.values())
+    out = F.lit("und")
+    # reversed priority so earlier langs win ties via later when() chain
+    for lang in ["de", "es", "fr", "en"]:
+        out = F.when((s[lang] > 0) & (s[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, non-alnum runs → one
+    space, trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text — identical
+    whitespace/punct variants collide (the classic exact-ish dedup key)."""
+    return F.md5(normalize_text(col))
