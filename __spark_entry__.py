@@ -1,38 +1,606 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline smoke check at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+pipeline extensions), each ``(spark, sf_dir) -> DataFrame``.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL producing identical rows
+(same column names; floats rounded identically on both sides).
+Non-SQL-expressible entries (simhash, seeded-LSH ANN) are rows-only.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from windflow_spark.api import Pipe
+from windflow_spark.functions import dedup, similarity, text
+from windflow_spark.functions import multimodal
+from windflow_spark.operators.core import accumulate, flat_map
+from windflow_spark.operators.joins import asof_join, broadcast_dim_join
+from windflow_spark.operators.pane_farm import pane_farm
+from windflow_spark.operators.sessions import session_windows
+from windflow_spark.operators.win_mapreduce import win_mapreduce
+from windflow_spark.operators.windows import WinSpec, cb_ids, epoch_us, win_seq
+
+HOUR = 3_600_000_000  # microseconds
+MIN15 = 900_000_000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Source→Map→Filter→keyBy→Win_Seq(TB sliding)→ordered
+    over sf0.001 events (the transcripts-shaped stream fixture)."""
+    ev = _events(spark, "/root/testdata/sf0.001")
+    return (
+        Pipe.source(ev)
+        .map(us=epoch_us("ts"))
+        .filter(F.col("value") > 0)
+        .key_by("event_type")
+        .win_seq(
+            "us",
+            WinSpec("tb", HOUR, MIN15),
+            aggs={
+                "cnt": F.count(F.lit(1)),
+                "sum_value": F.round(F.sum("value"), 4),
+            },
+        )
+        .ordered("event_type", "gwid")
+        .df
+    )
+
+
+# ---------------------------------------------------------------- windows
+
+def q_win_tb_tumbling(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
+    return win_seq(
+        ev, ["event_type"], "us", WinSpec("tb", HOUR, HOUR),
+        aggs={"cnt": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)},
+    )
+
+
+def q_win_tb_sliding(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
+    return win_seq(
+        ev, ["event_type"], "us", WinSpec("tb", HOUR, MIN15),
+        aggs={"cnt": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)},
+    )
+
+
+def q_win_tb_hopping(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
+    return win_seq(
+        ev, ["event_type"], "us", WinSpec("tb", MIN15, HOUR),
+        aggs={"cnt": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)},
+    )
+
+
+def q_win_cb_tumbling(spark, sf_dir):
+    ev = cb_ids(
+        _events(spark, sf_dir), ["user_id"], [F.col("ts"), F.col("event_id")]
+    )
+    return win_seq(
+        ev, ["user_id"], "wf_id", WinSpec("cb", 10, 10),
+        aggs={"cnt": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)},
+    )
+
+
+def q_win_cb_sliding(spark, sf_dir):
+    ev = cb_ids(
+        _events(spark, sf_dir), ["user_id"], [F.col("ts"), F.col("event_id")]
+    )
+    return win_seq(
+        ev, ["user_id"], "wf_id", WinSpec("cb", 16, 4),
+        aggs={"cnt": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)},
+    )
+
+
+def q_win_nic_median(spark, sf_dir):
+    """NIC path: whole-window pandas UDF (median — order statistic the
+    INC path can't fold)."""
+    ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
+
+    def nic(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "gwid": [pdf["gwid"].iloc[0]],
+                "median_value": [round(float(pdf["value"].median()), 4)],
+                "cnt": [len(pdf)],
+            }
+        )
+
+    return win_seq(
+        ev, ["event_type"], "us", WinSpec("tb", HOUR, HOUR),
+        nic_fn=nic,
+        nic_schema="event_type string, gwid long, median_value double, cnt long",
+    )
+
+
+def q_pane_farm_sliding(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
+    return pane_farm(
+        ev, ["event_type"], "us", WinSpec("tb", HOUR, MIN15),
+        partial_aggs={"p_cnt": F.count(F.lit(1)), "p_sum": F.sum("value")},
+        merge_aggs={"cnt": F.sum("p_cnt"), "sum_value": F.round(F.sum("p_sum"), 4)},
+    )
+
+
+def q_win_mapreduce_sliding(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
+    return win_mapreduce(
+        ev, ["event_type"], "us", WinSpec("tb", HOUR, MIN15),
+        partial_aggs={"p_cnt": F.count(F.lit(1)), "p_sum": F.sum("value")},
+        merge_aggs={"cnt": F.sum("p_cnt"), "sum_value": F.round(F.sum("p_sum"), 4)},
+        degree=8,
+    )
+
+
+def q_session_windows(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
+    return session_windows(
+        ev, ["user_id"], "us", gap=HOUR // 2, aggs={"cnt": F.count(F.lit(1))}
+    )
+
+
+def q_accumulator(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = accumulate(
+        ev, ["event_type"], [F.col("ts"), F.col("event_id")],
+        {"running_cnt": F.count(F.lit(1)), "running_sum": F.sum("value")},
+    )
+    return out.select(
+        "event_type", "event_id", "running_cnt",
+        F.round("running_sum", 4).alias("running_sum"),
+    )
+
+
+def q_micro1_stateless(spark, sf_dir):
+    """Stateless Source→Map→Filter→FlatMap path (micro-1 / FIXTURES F5)."""
+    ev = _events(spark, sf_dir)
+    mapped = ev.withColumn("v2", F.round(F.col("value") * 2 + 1, 4)).filter(
+        F.col("event_id") % 2 == 0
+    )
+    return flat_map(
+        mapped,
+        F.array(F.round(F.col("v2") * 2, 4), F.round(F.col("v2") * 3, 4)),
+        alias="out_value",
+        keep=["event_id"],
+    )
+
+
+def q_union_pipes(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
+    even = Pipe.source(ev.filter(F.col("event_id") % 2 == 0))
+    odd = Pipe.source(ev.filter(F.col("event_id") % 2 == 1))
+    return (
+        even.union_(odd)
+        .key_by("event_type")
+        .win_seq("us", WinSpec("tb", HOUR, HOUR), aggs={"cnt": F.count(F.lit(1))})
+        .df
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
+    left = ev.filter(F.col("event_type") == "click")
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("us").alias("r_us"), F.col("event_id").alias("r_event_id")
+    )
+    return asof_join(
+        left, right, ["user_id"], "us", "r_us", bound=HOUR,
+        left_id=["user_id", "event_id"], right_payload=["r_event_id"],
+    )
+
+
+def q_ysb_pipeline(spark, sf_dir):
+    """YSB shape: filter → broadcast dim join → tumbling window count/max
+    (yahoo_app.hpp:149-176) on orders ⋈ customer."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    joined = broadcast_dim_join(
+        orders.filter(F.col("o_orderstatus") == "O"),
+        cust.select("c_custkey", "c_mktsegment"),
+        on=[orders.o_custkey == cust.c_custkey],
+    ).withColumn("us", epoch_us("o_orderdate"))
+    week = 7 * 24 * HOUR
+    return win_seq(
+        joined, ["c_mktsegment"], "us", WinSpec("tb", week, week),
+        aggs={
+            "cnt": F.count(F.lit(1)),
+            "max_price": F.round(F.max("o_totalprice"), 4),
+        },
+    )
+
+
+def q_topk_per_key(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id", "value")
+    )
+
+
+# ------------------------------------------------------- pipeline functions
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_dedup_fingerprint(spark, sf_dir):
+    return dedup.fingerprint_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    sh = dedup.word_shingles(_docs(spark, sf_dir), "doc_id", "text", n=3)
+    sigs = dedup.minhash_signatures(sh, "doc_id", k=16)
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    sh = dedup.word_shingles(_docs(spark, sf_dir), "doc_id", "text", n=3)
+    return dedup.ngram_jaccard_pairs(sh, "doc_id", threshold=0.2)
+
+
+def q_embedding_topk(spark, sf_dir):
+    vecs = _vecs(spark, sf_dir)
+    return similarity.brute_force_topk(
+        vecs, vecs.filter(F.col("vec_id") < 10), k=5
+    ).select("q_id", "rank", "c_id", "cos")
+
+
+def q_embedding_dedup(spark, sf_dir):
+    return similarity.embedding_dedup_pairs(_vecs(spark, sf_dir), threshold=0.5, exact=True)
+
+
+def q_ann_lsh(spark, sf_dir):
+    vecs = _vecs(spark, sf_dir)
+    return similarity.lsh_topk(
+        vecs, vecs.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=4
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    return text.quality_features(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        "stopword_hits",
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", text.lang_id("text").alias("lang_pred")
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        text.token_count("text").alias("ws_tokens"),
+        text.bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", text.fingerprint("text").alias("fp")
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    media = multimodal.synth_media(_docs(spark, sf_dir), "doc_id", "text", kind="image")
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "kind", "n_bytes", "digest")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "win_tb_tumbling": q_win_tb_tumbling,
+        "win_tb_sliding": q_win_tb_sliding,
+        "win_tb_hopping": q_win_tb_hopping,
+        "win_cb_tumbling": q_win_cb_tumbling,
+        "win_cb_sliding": q_win_cb_sliding,
+        "win_nic_median": q_win_nic_median,
+        "pane_farm_sliding": q_pane_farm_sliding,
+        "win_mapreduce_sliding": q_win_mapreduce_sliding,
+        "session_windows": q_session_windows,
+        "accumulator": q_accumulator,
+        "micro1_stateless": q_micro1_stateless,
+        "union_pipes": q_union_pipes,
+        "asof_join": q_asof_join,
+        "ysb_pipeline": q_ysb_pipeline,
+        "topk_per_key": q_topk_per_key,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "embedding_dedup": q_embedding_dedup,
+        "ann_lsh": q_ann_lsh,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------------ oracles
+
+_T = "cast(floor(epoch_us(ts) / {slide}.0) AS BIGINT)"
+
+_SHINGLES_CTE = """
+toked AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         unnest(generate_series(1, len(string_split_regex(trim(text), '\\s+')))) AS pos
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM toked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+)
+"""
+
+_COS = (
+    "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    "  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+)
+
+_QUALITY_TOKS = "string_split_regex(trim(text), '\\s+')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    hour, min15 = HOUR, MIN15
+    week = 7 * 24 * HOUR
+    sql = {}
+
+    sql["win_tb_tumbling"] = f"""
+        SELECT event_type, cast(floor(epoch_us(ts)/{hour}.0) AS BIGINT) AS gwid,
+               count(*) AS cnt, round(sum(value), 4) AS sum_value,
+               cast(floor(epoch_us(ts)/{hour}.0) AS BIGINT)*{hour} + {hour} - 1 AS win_end
+        FROM events GROUP BY 1, 2
     """
-    return {}
+    sql["win_tb_sliding"] = f"""
+        WITH wids AS (
+          SELECT event_type, value,
+                 unnest(generate_series(
+                   greatest(0, cast(floor((epoch_us(ts) - {hour})/{min15}.0) AS BIGINT) + 1),
+                   cast(floor(epoch_us(ts)/{min15}.0) AS BIGINT))) AS gwid
+          FROM events)
+        SELECT event_type, gwid, count(*) AS cnt, round(sum(value), 4) AS sum_value,
+               gwid*{min15} + {hour} - 1 AS win_end
+        FROM wids GROUP BY 1, 2
+    """
+    sql["win_tb_hopping"] = f"""
+        SELECT event_type, cast(floor(epoch_us(ts)/{hour}.0) AS BIGINT) AS gwid,
+               count(*) AS cnt, round(sum(value), 4) AS sum_value,
+               cast(floor(epoch_us(ts)/{hour}.0) AS BIGINT)*{hour} + {min15} - 1 AS win_end
+        FROM events
+        WHERE epoch_us(ts) % {hour} < {min15}
+        GROUP BY 1, 2
+    """
+    sql["win_cb_tumbling"] = """
+        WITH ids AS (
+          SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS wf_id
+          FROM events)
+        SELECT user_id, wf_id // 10 AS gwid, count(*) AS cnt,
+               round(sum(value), 4) AS sum_value, (wf_id // 10)*10 + 9 AS win_end
+        FROM ids GROUP BY 1, 2
+    """
+    sql["win_cb_sliding"] = """
+        WITH ids AS (
+          SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS wf_id
+          FROM events),
+        wids AS (
+          -- NB: DuckDB // truncates toward zero; window math needs FLOOR division
+          SELECT user_id, value,
+                 unnest(generate_series(
+                   greatest(0, cast(floor((wf_id - 16) / 4.0) AS BIGINT) + 1),
+                   wf_id // 4)) AS gwid
+          FROM ids)
+        SELECT user_id, gwid, count(*) AS cnt, round(sum(value), 4) AS sum_value,
+               gwid*4 + 15 AS win_end
+        FROM wids GROUP BY 1, 2
+    """
+    sql["win_nic_median"] = f"""
+        SELECT event_type, cast(floor(epoch_us(ts)/{hour}.0) AS BIGINT) AS gwid,
+               round(median(value), 4) AS median_value, count(*) AS cnt,
+               cast(floor(epoch_us(ts)/{hour}.0) AS BIGINT)*{hour} + {hour} - 1 AS win_end
+        FROM events GROUP BY 1, 2
+    """
+    sql["pane_farm_sliding"] = sql["win_tb_sliding"]
+    sql["win_mapreduce_sliding"] = sql["win_tb_sliding"]
+    sql["session_windows"] = f"""
+        WITH gapped AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {hour // 2}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        ), sess AS (
+          SELECT user_id, us,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM gapped)
+        SELECT user_id, session_id, min(us) AS session_start, max(us) AS session_end,
+               count(*) AS cnt
+        FROM sess GROUP BY 1, 2
+    """
+    sql["accumulator"] = """
+        SELECT event_type, event_id,
+               count(*) OVER w AS running_cnt,
+               round(sum(value) OVER w, 4) AS running_sum
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    """
+    sql["micro1_stateless"] = """
+        SELECT event_id, unnest([round(round(value*2+1, 4)*2, 4),
+                                 round(round(value*2+1, 4)*3, 4)]) AS out_value
+        FROM events WHERE event_id % 2 = 0
+    """
+    sql["union_pipes"] = f"""
+        SELECT event_type, cast(floor(epoch_us(ts)/{hour}.0) AS BIGINT) AS gwid,
+               count(*) AS cnt,
+               cast(floor(epoch_us(ts)/{hour}.0) AS BIGINT)*{hour} + {hour} - 1 AS win_end
+        FROM events GROUP BY 1, 2
+    """
+    sql["asof_join"] = f"""
+        WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+                   WHERE event_type = 'click'),
+             r AS (SELECT user_id, event_id AS r_event_id, epoch_us(ts) AS r_us
+                   FROM events WHERE event_type = 'view')
+        SELECT l.user_id, l.event_id, max(r.r_us) AS matched_ts,
+               arg_max(r.r_event_id, r.r_us) AS matched_r_event_id
+        FROM l JOIN r ON l.user_id = r.user_id
+                     AND r.r_us <= l.us AND r.r_us >= l.us - {hour}
+        GROUP BY 1, 2
+    """
+    sql["ysb_pipeline"] = f"""
+        SELECT c_mktsegment,
+               cast(floor(epoch_us(o_orderdate)/{week}.0) AS BIGINT) AS gwid,
+               count(*) AS cnt, round(max(o_totalprice), 4) AS max_price,
+               cast(floor(epoch_us(o_orderdate)/{week}.0) AS BIGINT)*{week} + {week} - 1 AS win_end
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY 1, 2
+    """
+    sql["topk_per_key"] = """
+        SELECT event_type, rnk, event_id, value FROM (
+          SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id ASC) AS rnk
+          FROM events) WHERE rnk <= 3
+    """
+    sql["dedup_exact"] = """
+        SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM documents GROUP BY 1
+    """
+    sql["dedup_fingerprint"] = """
+        SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+               min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM documents GROUP BY 1
+    """
+    sql["dedup_minhash_lsh"] = f"""
+        WITH {_SHINGLES_CTE},
+        sigs AS (
+          SELECT doc_id, j, min(md5(j::VARCHAR || '|' || shingle)) AS minhash
+          FROM sh, unnest(generate_series(0, 15)) AS t(j)
+          GROUP BY doc_id, j
+        ),
+        banded AS (
+          SELECT doc_id, j // 4 AS band,
+                 md5(array_to_string(list_sort(list(j::VARCHAR || ':' || minhash)), ',')) AS band_key
+          FROM sigs GROUP BY doc_id, j // 4
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+    sql["ngram_jaccard"] = f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, inter,
+               round(inter / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(inter / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= 0.2
+    """
+    sql["embedding_topk"] = f"""
+        SELECT q_id, rank, c_id, cos FROM (
+          SELECT b.vec_id AS q_id, a.vec_id AS c_id, {_COS} AS cos,
+                 row_number() OVER (PARTITION BY b.vec_id
+                                    ORDER BY {_COS} DESC, a.vec_id ASC) AS rank
+          FROM embeddings a JOIN embeddings b
+            ON b.vec_id < 10 AND a.vec_id <> b.vec_id)
+        WHERE rank <= 5
+    """
+    sql["embedding_dedup"] = f"""
+        SELECT id_a, id_b, cos FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        WHERE cos >= 0.5
+    """
+    sql["text_quality"] = f"""
+        SELECT doc_id,
+               len({_QUALITY_TOKS}) AS n_tokens,
+               round((length(text) - (len({_QUALITY_TOKS}) - 1))
+                 / len({_QUALITY_TOKS})::DOUBLE, 6) AS mean_token_len,
+               round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 / length(text)::DOUBLE, 6) AS punct_ratio,
+               len(list_filter(list_distinct({_QUALITY_TOKS}),
+                   x -> x IN ('the','and','of','to','a','in','is','that'))) AS stopword_hits
+        FROM documents
+    """
+    langs = {
+        "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+        "fr": ("le", "la", "les", "de", "et", "un", "une", "est"),
+        "es": ("el", "la", "los", "de", "y", "un", "una", "es"),
+        "de": ("der", "die", "das", "und", "ein", "ist", "nicht", "mit"),
+    }
+    score = {
+        lang: "len(list_filter(list_distinct({t}), x -> x IN ({m})))".format(
+            t=_QUALITY_TOKS, m=", ".join(f"'{w}'" for w in ws)
+        )
+        for lang, ws in langs.items()
+    }
+    g = f"greatest({score['en']}, {score['fr']}, {score['es']}, {score['de']})"
+    sql["text_langid"] = f"""
+        SELECT doc_id,
+          CASE WHEN {score['en']} > 0 AND {score['en']} = {g} THEN 'en'
+               WHEN {score['fr']} > 0 AND {score['fr']} = {g} THEN 'fr'
+               WHEN {score['es']} > 0 AND {score['es']} = {g} THEN 'es'
+               WHEN {score['de']} > 0 AND {score['de']} = {g} THEN 'de'
+               ELSE 'und' END AS lang_pred
+        FROM documents
+    """
+    sql["token_counts"] = f"""
+        SELECT doc_id, len({_QUALITY_TOKS}) AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+        FROM documents
+    """
+    sql["doc_fingerprint"] = """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM documents
+    """
+    sql["multimodal_meta"] = """
+        SELECT doc_id AS media_id, 'image' AS kind,
+               octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+        FROM documents
+    """
+    return sql

@@ -1,0 +1,94 @@
+"""Local replica of the driver's correctness gate: run every
+__spark_entry__ query at sf0.01 and diff against its DuckDB oracle
+(row count + order-insensitive value comparison, column-name aligned).
+
+Usage: python tools/check_entry.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from windflow_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif isinstance(df[c].dtype, pd.DatetimeTZDtype) or pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        try:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        except TypeError:
+            pass
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check-entry", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL {name}: spark error {str(ex)[:200]}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(got)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            want = con.execute(oracles[name]).df()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {str(ex)[:200]}")
+            continue
+        if len(got) != len(want):
+            failures.append(name)
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+            continue
+        g, w = normalize(got), normalize(want)
+        if sorted(g.columns) != sorted(w.columns):
+            failures.append(name)
+            print(f"FAIL {name}: columns {sorted(g.columns)} vs {sorted(w.columns)}")
+            continue
+        try:
+            pd.testing.assert_frame_equal(g, w, check_dtype=False, rtol=1e-6, atol=1e-9)
+            print(f"ok   {name}: {len(got)} rows match ({time.time()-t0:.1f}s)")
+        except AssertionError as ex:
+            failures.append(name)
+            print(f"FAIL {name}: value mismatch: {str(ex)[:300]}")
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL MATCH")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
