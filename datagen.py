@@ -12,6 +12,14 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+def write_parquet_us(pdf: pd.DataFrame, path: str) -> None:
+    """Write a pandas frame as Spark-readable parquet: timestamps
+    coerced to microseconds (Spark rejects TIMESTAMP(NANOS))."""
+    pdf.to_parquet(
+        path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+
+
 ROLES = ["user", "assistant", "tool"]
 ROLE_CYCLE = ["user", "assistant", "tool", "assistant"]  # FIXTURES.md F1
 TOOLS = ["search", "python", "browser", "none"]

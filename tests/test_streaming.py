@@ -1,0 +1,253 @@
+"""Structured Streaming parity + exactly-once tests (SURVEY.md §5.4:
+batch == streaming availableNow == resume-from-checkpoint).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import datagen
+from tests.conftest import assert_frames_equal
+from windflow_spark.operators.windows import WinSpec, epoch_us, win_seq
+from windflow_spark.streaming import engine as se
+
+
+@pytest.fixture(scope="module")
+def tdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("stream")
+
+
+@pytest.fixture(scope="module")
+def tx_path(spark, tdir):
+    """Transcripts written as several files (per-conv order preserved:
+    each conversation lives in exactly one file)."""
+    pdf = datagen.gen_transcripts(n_convs=20, seed=42, mean_turns=30)
+    path = str(tdir / "transcripts")
+    os.makedirs(path, exist_ok=True)
+    for shard in range(4):
+        part = pdf[pdf["conv_id"].map(lambda c: hash(c) % 4 == shard)]
+        if len(part):
+            datagen.write_parquet_us(part, f"{path}/part-{shard}.parquet")
+    return path
+
+
+def _schema(spark, path):
+    return spark.read.parquet(path).schema
+
+
+def test_stream_tumbling_equals_batch(spark, tx_path):
+    schema = _schema(spark, tx_path)
+    src = se.stream_source(spark, tx_path, schema)
+    stream = se.stream_win_tb(
+        src, ["conv_id"], "ts", WinSpec("tb", 30, 30),
+        aggs={"cnt": F.count(F.lit(1)), "sum_len": F.sum(F.length("text"))},
+        watermark="10 seconds", unit="second",
+    )
+    got = se.run_to_memory(stream, "t_tumb", spark, output_mode="complete").toPandas()
+    batch = spark.read.parquet(tx_path)
+    want = win_seq(
+        batch.withColumn("us", epoch_us("ts")), ["conv_id"], "us",
+        WinSpec("tb", 30_000_000, 30_000_000),
+        aggs={"cnt": F.count(F.lit(1)), "sum_len": F.sum(F.length("text"))},
+        with_win_end=False,
+    ).toPandas()
+    assert_frames_equal(got, want, ["conv_id", "gwid"])
+
+
+def test_stream_sliding_equals_batch(spark, tx_path):
+    schema = _schema(spark, tx_path)
+    src = se.stream_source(spark, tx_path, schema, max_files_per_trigger=1)
+    stream = se.stream_win_tb(
+        src, ["conv_id"], "ts", WinSpec("tb", 60, 15),
+        aggs={"cnt": F.count(F.lit(1))}, watermark="10 seconds", unit="second",
+    )
+    got = se.run_to_memory(stream, "t_slide", spark, output_mode="complete").toPandas()
+    want = win_seq(
+        spark.read.parquet(tx_path).withColumn("us", epoch_us("ts")),
+        ["conv_id"], "us", WinSpec("tb", 60_000_000, 15_000_000),
+        aggs={"cnt": F.count(F.lit(1))}, with_win_end=False,
+    ).toPandas()
+    assert_frames_equal(got, want, ["conv_id", "gwid"])
+
+
+def test_stream_session_equals_batch(spark, tx_path):
+    from windflow_spark.operators.sessions import session_windows
+
+    schema = _schema(spark, tx_path)
+    gap_s = 60
+    src = se.stream_source(spark, tx_path, schema)
+    stream = se.stream_session(
+        src, ["conv_id"], "ts", f"{gap_s} seconds",
+        aggs={"cnt": F.count(F.lit(1))}, watermark="10 seconds",
+    )
+    got = se.run_to_memory(stream, "t_sess", spark, output_mode="complete").toPandas()
+    batch = spark.read.parquet(tx_path).withColumn("us", epoch_us("ts"))
+    want = session_windows(
+        batch, ["conv_id"], "us", gap_s * 1_000_000, aggs={"cnt": F.count(F.lit(1))}
+    ).toPandas()
+    # native session_window end is exclusive (last_ts + gap); align on
+    # (conv_id, session_start, cnt)
+    g = got[["conv_id", "session_start", "cnt"]]
+    w = want[["conv_id", "session_start", "cnt"]]
+    assert_frames_equal(g, w, ["conv_id", "session_start"])
+
+
+def test_stream_cb_windows_fired_equal_batch_full_windows(spark, tx_path):
+    schema = _schema(spark, tx_path)
+    src = se.stream_source(spark, tx_path, schema, max_files_per_trigger=1)
+    spec = WinSpec("cb", 8, 4)
+    stream = se.stream_cb_windows(
+        src.withColumn("text_len", F.length("text").cast("double")),
+        "conv_id", "turn_idx", "text_len", spec,
+    )
+    got = se.run_to_memory(stream, "t_cb", spark, output_mode="append").toPandas()
+    batch = spark.read.parquet(tx_path).withColumn(
+        "text_len", F.length("text").cast("double")
+    )
+    want_all = win_seq(
+        batch, ["conv_id"], "turn_idx", spec,
+        aggs={"sum_value": F.sum("text_len"), "cnt": F.count(F.lit(1))},
+    ).toPandas()
+    # stream fires only FULL windows (last tuple seen); batch EOS also
+    # flushes partials — restrict to full windows
+    maxid = batch.groupBy("conv_id").agg(F.max("turn_idx").alias("m")).toPandas()
+    want = want_all.merge(maxid, on="conv_id")
+    want = want[want["win_end"] <= want["m"]].drop(columns=["m"])
+    assert len(got) > 0
+    assert_frames_equal(got, want, ["conv_id", "gwid"])
+
+
+def test_stream_interval_join_equals_batch(spark, tx_path):
+    schema = _schema(spark, tx_path)
+    src = se.stream_source(spark, tx_path, schema)
+    left = src.filter(F.col("role") == "assistant").select(
+        "conv_id", F.col("turn_idx").alias("a_turn"), F.col("ts").alias("a_ts")
+    )
+    right = src.filter(F.col("role") == "user").select(
+        "conv_id", F.col("turn_idx").alias("u_turn"), F.col("ts").alias("u_ts")
+    )
+    joined = se.stream_interval_join(
+        left, right, ["conv_id"], "a_ts", "u_ts", bound_secs=120,
+        watermark="300 seconds",
+    ).select("l.conv_id", "a_turn", "u_turn")
+    got = se.run_to_memory(joined, "t_join", spark, output_mode="append").toPandas()
+    b = spark.read.parquet(tx_path).withColumn("us", epoch_us("ts"))
+    bl = b.filter(F.col("role") == "assistant").select(
+        "conv_id", F.col("turn_idx").alias("a_turn"), F.col("us").alias("a_us")
+    )
+    br = b.filter(F.col("role") == "user").select(
+        F.col("conv_id").alias("r_conv"), F.col("turn_idx").alias("u_turn"),
+        F.col("us").alias("u_us"),
+    )
+    want = (
+        bl.join(
+            br,
+            (F.col("conv_id") == F.col("r_conv"))
+            & (F.col("u_us") <= F.col("a_us"))
+            & (F.col("u_us") >= F.col("a_us") - F.lit(120 * 1_000_000)),
+        )
+        .select("conv_id", "a_turn", "u_turn")
+        .toPandas()
+    )
+    assert len(got) > 0
+    assert_frames_equal(got, want, ["conv_id", "a_turn", "u_turn"])
+
+
+def test_checkpoint_resume_exactly_once(spark, tdir):
+    """Kill-and-resume == uninterrupted run (SURVEY.md §7 P4): drain
+    phase-1 files, 'crash', add phase-2 files, resume from the same
+    checkpoint — sink must equal a single-shot run, no dups/loss."""
+    pdf = datagen.gen_transcripts(n_convs=12, seed=7, mean_turns=20)
+    src_dir = str(tdir / "resume_src")
+    os.makedirs(src_dir, exist_ok=True)
+    half = len(pdf) // 2
+    datagen.write_parquet_us(pdf.iloc[:half], f"{src_dir}/a.parquet")
+
+    schema = spark.read.parquet(src_dir).schema
+    sink = str(tdir / "resume_sink")
+    ckpt = str(tdir / "resume_ckpt")
+
+    def q():
+        src = se.stream_source(spark, src_dir, schema, max_files_per_trigger=1)
+        return src.withColumn("text_len", F.length("text")).select(
+            "conv_id", "turn_idx", "text_len"
+        )
+
+    se.run_available_now(q(), sink, ckpt)
+    n1 = len(spark.read.parquet(sink).toPandas())
+    assert n1 == half
+    # phase 2: new file arrives, resume from checkpoint
+    datagen.write_parquet_us(pdf.iloc[half:], f"{src_dir}/b.parquet")
+    se.run_available_now(q(), sink, ckpt)
+    got = spark.read.parquet(sink).toPandas()
+    assert len(got) == len(pdf)  # exactly-once: no dups, no loss
+    want = pdf.assign(text_len=pdf["text"].str.len())[
+        ["conv_id", "turn_idx", "text_len"]
+    ]
+    assert_frames_equal(got, want, ["conv_id", "turn_idx"])
+    # idempotent re-run: nothing new
+    se.run_available_now(q(), sink, ckpt)
+    assert len(spark.read.parquet(sink).toPandas()) == len(pdf)
+
+
+def test_late_data_dropped_below_watermark(spark, tdir):
+    """Watermark late-data policy: a row older than watermark behind the
+    max event time is dropped from append-mode aggregation."""
+    src_dir = str(tdir / "late_src")
+    os.makedirs(src_dir, exist_ok=True)
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    # file 1: ts up to 10:00; file 2: one very late row (2 hours back)
+    f1 = pd.DataFrame(
+        {"k": ["a"] * 5, "ts": [base + pd.Timedelta(minutes=m) for m in range(0, 600, 120)], "v": 1.0}
+    )
+    f2 = pd.DataFrame({"k": ["a"], "ts": [base - pd.Timedelta(hours=2)], "v": 100.0})
+    datagen.write_parquet_us(f1, f"{src_dir}/f1.parquet")
+    schema = spark.read.parquet(src_dir).schema
+    sink, ckpt = str(tdir / "late_sink"), str(tdir / "late_ckpt")
+
+    def run():
+        src = se.stream_source(spark, src_dir, schema, max_files_per_trigger=1)
+        return se.stream_win_tb(
+            src, ["k"], "ts", WinSpec("tb", 3600, 3600),
+            aggs={"cnt": F.count(F.lit(1)), "sum_v": F.sum("v")},
+            watermark="30 minutes", unit="second",
+        )
+
+    se.run_available_now(run(), sink, ckpt)
+    datagen.write_parquet_us(f2, f"{src_dir}/f2.parquet")
+    se.run_available_now(run(), sink, ckpt)
+    out = spark.read.parquet(sink).toPandas()
+    # the late row's window (base-2h) must NOT appear
+    late_gwid = int((base - pd.Timedelta(hours=2)).value // 1000 // 3_600_000_000)
+    assert late_gwid not in set(out["gwid"])
+
+
+def test_metrics_listener_lineage(spark, tx_path, tdir):
+    metrics_path = str(tdir / "metrics.jsonl")
+    listener = se.MetricsListener(metrics_path)
+    listener.attach(spark)
+    try:
+        schema = _schema(spark, tx_path)
+        src = se.stream_source(spark, tx_path, schema, max_files_per_trigger=1)
+        stream = se.stream_win_tb(
+            src, ["conv_id"], "ts", WinSpec("tb", 60, 60),
+            aggs={"cnt": F.count(F.lit(1))}, watermark="10 seconds", unit="second",
+        )
+        se.run_to_memory(stream, "t_metrics", spark, output_mode="complete")
+        import time
+
+        for _ in range(20):  # listener is async
+            if len(listener.rows) >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        listener.detach(spark)
+    assert len(listener.rows) >= 2  # one per micro-batch (4 files)
+    assert sum(r["num_input_rows"] for r in listener.rows) > 0
+    assert os.path.exists(metrics_path)
+    assert listener.p99_batch_ms() is not None
