@@ -313,6 +313,58 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_streaming_tumbling(spark, sf_dir):
+    """Streaming plan through the correctness gate: the events table
+    drained as a stream (availableNow, complete mode) must equal the
+    batch tumbling aggregate — SURVEY.md §5 invariant 4."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from windflow_spark.streaming import engine as se
+
+    # file-stream source requires a directory; stage the table file
+    path = tempfile.mkdtemp(prefix="wf_gate_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(path, "events.parquet"))
+    schema = spark.read.parquet(path).schema
+    src = se.stream_source(spark, path, schema)
+    out = se.stream_win_tb(
+        src, ["event_type"], "ts", WinSpec("tb", 3600, 3600),
+        aggs={"cnt": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)},
+        watermark="1 hour", unit="second",
+    )
+    name = f"gate_stream_{uuid.uuid4().hex[:8]}"
+    return se.run_to_memory(out, name, spark, output_mode="complete")
+
+
+def q_streaming_cb(spark, sf_dir):
+    """Streaming CB windows (stateful applyInPandasWithState): per-user
+    arrival index drives tumbling count windows; fired == full windows
+    (Triggerer_CB). Ids are renumbered upstream (batch row_number →
+    temp parquet → stream), the TS_RENUMBERING pattern."""
+    import tempfile
+    import uuid
+
+    from windflow_spark.streaming import engine as se
+
+    ids = cb_ids(
+        _events(spark, sf_dir), ["user_id"], [F.col("ts"), F.col("event_id")]
+    ).select(
+        F.col("user_id").cast("string").alias("user_key"), "wf_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="wf_gate_cb_")
+    ids.coalesce(1).write.mode("overwrite").parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+    src = se.stream_source(spark, tmp, schema)
+    out = se.stream_cb_windows(src, "user_key", "wf_id", "value", WinSpec("cb", 10, 10))
+    name = f"gate_stream_cb_{uuid.uuid4().hex[:8]}"
+    res = se.run_to_memory(out, name, spark, output_mode="append")
+    return res.select(
+        "user_key", "gwid", F.round("sum_value", 4).alias("sum_value"), "cnt", "win_end"
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     media = multimodal.synth_media(_docs(spark, sf_dir), "doc_id", "text", kind="image")
     feats = multimodal.extract_features(media)
@@ -349,6 +401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "streaming_tumbling": q_streaming_tumbling,
+        "streaming_cb": q_streaming_cb,
     }
 
 
@@ -597,6 +651,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         FROM documents
+    """
+    sql["streaming_tumbling"] = f"""
+        SELECT event_type, cast(floor(epoch_us(ts)/{hour}.0) AS BIGINT) AS gwid,
+               count(*) AS cnt, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+    sql["streaming_cb"] = """
+        WITH ids AS (
+          SELECT user_id::VARCHAR AS user_key, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS wf_id
+          FROM events),
+        mx AS (SELECT user_key, max(wf_id) AS m FROM ids GROUP BY 1),
+        agg AS (
+          SELECT i.user_key, wf_id // 10 AS gwid, round(sum(value), 4) AS sum_value,
+                 count(*) AS cnt, (wf_id // 10) * 10 + 9 AS win_end, max(mx.m) AS m
+          FROM ids i JOIN mx ON i.user_key = mx.user_key
+          GROUP BY i.user_key, wf_id // 10)
+        SELECT user_key, gwid, sum_value, cnt, win_end FROM agg WHERE win_end <= m
     """
     sql["multimodal_meta"] = """
         SELECT doc_id AS media_id, 'image' AS kind,

@@ -150,9 +150,78 @@ def _timed(df) -> float:
     return time.time() - t0
 
 
+def run_stream_bench(cores: int) -> None:
+    """Streaming flagship (the BASELINE.json metric): the amplified
+    event stream through a watermarked sliding-window aggregate with
+    RocksDB state store, drained availableNow in multi-file batches.
+    Reports sustained rows/sec and p50/p99 micro-batch duration
+    (window-emit latency proxy: a window is emitted in the batch whose
+    watermark passes its end, so batch duration bounds emit latency)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from windflow_spark.operators.windows import WinSpec
+    from windflow_spark.session import get_spark
+    from windflow_spark.streaming import engine as se
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    spark = get_spark(
+        "windflow-stream-bench", master=f"local[{cores}]",
+        shuffle_partitions=cores, streaming=True,
+        extra_conf={
+            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC -XX:NewRatio=1"
+        },
+    )
+    materialize_amplified(spark, SF_DIR, AMP)
+    src_path = _amp_path(AMP)
+    n_in = spark.read.parquet(src_path).count()
+    schema = spark.read.parquet(src_path).schema
+
+    workdir = tempfile.mkdtemp(prefix="wf_stream_bench_")
+    metrics = se.MetricsListener(f"{workdir}/metrics.jsonl")
+    metrics.attach(spark)
+    src = se.stream_source(spark, src_path, schema, max_files_per_trigger=32)
+    out = se.stream_win_tb(
+        src.filter(F.col("value") > 0), ["k"], "ts",
+        WinSpec("tb", 3600, 900),
+        aggs={"cnt": F.count(F.lit(1)), "sum_value": F.sum("value")},
+        watermark="30 minutes", unit="second",
+    )
+    t0 = time.time()
+    se.run_available_now(out, f"{workdir}/sink", f"{workdir}/ckpt",
+                         timeout_sec=1200)
+    el = time.time() - t0
+    time.sleep(2)  # listener is async
+    durs = sorted(r["batch_duration_ms"] for r in metrics.rows)
+    emitted = spark.read.parquet(f"{workdir}/sink").count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "rows_in": n_in,
+                "sec": round(el, 2),
+                "sustained_rows_per_sec": round(n_in / el),
+                "n_batches": len(durs),
+                "p50_batch_ms": durs[len(durs) // 2] if durs else None,
+                "p99_batch_ms": durs[min(len(durs) - 1, int(0.99 * len(durs)))]
+                if durs
+                else None,
+                "windows_emitted": emitted,
+                "state_store": "rocksdb",
+            }
+        )
+    )
+
+
 def main() -> None:
     if "--single" in sys.argv:
         run_single(int(sys.argv[sys.argv.index("--single") + 1]))
+        return
+    if "--stream" in sys.argv:
+        run_stream_bench(int(sys.argv[sys.argv.index("--stream") + 1]))
         return
     do_scaling = "--no-scaling" not in sys.argv
 
@@ -204,6 +273,17 @@ def main() -> None:
             "efficiency_8_to_32": round(t32 / (4 * t8), 3),
         }
 
+    streaming = {}
+    if do_scaling:  # same gate: the expensive multi-JVM section
+        out = subprocess.run(
+            [sys.executable, __file__, "--stream", str(CPUS)],
+            capture_output=True, text=True, timeout=1800, cwd=str(REPO),
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if lines:
+            streaming = json.loads(lines[-1])
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -214,6 +294,7 @@ def main() -> None:
                 "queries": times,
                 "sf": SF_DIR,
                 "throughput": throughput,
+                "streaming": streaming,
                 "scaling": scaling,
             }
         )

@@ -251,3 +251,27 @@ def test_metrics_listener_lineage(spark, tx_path, tdir):
     assert sum(r["num_input_rows"] for r in listener.rows) > 0
     assert os.path.exists(metrics_path)
     assert listener.p99_batch_ms() is not None
+
+
+def test_stream_accumulate_equals_batch(spark, tx_path):
+    """Streaming keyed rolling reduce == batch Accumulator
+    (running value after every input tuple)."""
+    from windflow_spark.operators.core import accumulate
+
+    schema = _schema(spark, tx_path)
+    src = se.stream_source(spark, tx_path, schema, max_files_per_trigger=1)
+    stream = se.stream_accumulate(
+        src.withColumn("text_len", F.length("text").cast("double")),
+        "conv_id", "turn_idx", "text_len",
+    )
+    got = se.run_to_memory(stream, "t_acc", spark, output_mode="append").toPandas()
+    batch = spark.read.parquet(tx_path).withColumn(
+        "text_len", F.length("text").cast("double")
+    )
+    want = accumulate(
+        batch, ["conv_id"], ["turn_idx"],
+        {"running_sum": F.sum("text_len"), "running_cnt": F.count(F.lit(1))},
+    ).select("conv_id", "turn_idx", "running_sum", "running_cnt").toPandas()
+    want["turn_idx"] = want["turn_idx"].astype("int64")
+    assert len(got) == len(want)
+    assert_frames_equal(got, want, ["conv_id", "turn_idx"])

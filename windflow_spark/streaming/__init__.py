@@ -3,6 +3,7 @@ from windflow_spark.streaming.engine import (
     stream_win_tb,
     stream_session,
     stream_cb_windows,
+    stream_accumulate,
     stream_interval_join,
     run_available_now,
     MetricsListener,
@@ -13,6 +14,7 @@ __all__ = [
     "stream_win_tb",
     "stream_session",
     "stream_cb_windows",
+    "stream_accumulate",
     "stream_interval_join",
     "run_available_now",
     "MetricsListener",

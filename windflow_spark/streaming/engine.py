@@ -180,6 +180,42 @@ def stream_cb_windows(
     )
 
 
+def stream_accumulate(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming Accumulator: keyed rolling reduce emitting the running
+    (sum, count) after EVERY input tuple (reference
+    includes/accumulator.hpp:157-192, emit at :181) via a keyed
+    stateful processor. Requires per-key-ordered arrival (same contract
+    as stream_cb_windows)."""
+    out_schema = f"{key} string, {id_col} long, running_sum double, running_cnt long"
+    state_schema = "s double, c long"
+
+    def proc(
+        k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        s, c = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(id_col)
+            rows = []
+            for i, v in zip(pdf[id_col], pdf[value_col]):
+                s += float(v)
+                c += 1
+                rows.append((k[0], int(i), s, c))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[key, id_col, "running_sum", "running_cnt"]
+                )
+        state.update((s, c))
+
+    return df.groupBy(key).applyInPandasWithState(
+        proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,
