@@ -566,18 +566,31 @@ def oracle_sql() -> dict[str, str]:
                min(doc_id) AS keep_id, count(*) AS n_dups
         FROM documents GROUP BY 1
     """
+    # minhash oracle generated from the same coefficient table the
+    # engine uses (windflow_spark.functions.dedup.minhash_coeffs)
+    k_mh, bands_mh, rpb_mh = 16, 4, 4
+    coeffs = dedup.minhash_coeffs(k_mh)
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {dedup.MINHASH_P}) AS m{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cc}) AS band_key FROM sigs".format(
+            b=b,
+            cc=" || ',' || ".join(
+                f"m{b * rpb_mh + i}::VARCHAR" for i in range(rpb_mh)
+            ),
+        )
+        for b in range(bands_mh)
+    )
     sql["dedup_minhash_lsh"] = f"""
         WITH {_SHINGLES_CTE},
-        sigs AS (
-          SELECT doc_id, j, min(md5(j::VARCHAR || '|' || shingle)) AS minhash
-          FROM sh, unnest(generate_series(0, 15)) AS t(j)
-          GROUP BY doc_id, j
-        ),
-        banded AS (
-          SELECT doc_id, j // 4 AS band,
-                 md5(array_to_string(list_sort(list(j::VARCHAR || ':' || minhash)), ',')) AS band_key
-          FROM sigs GROUP BY doc_id, j // 4
-        )
+        hashed AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 15))::UBIGINT::BIGINT & 2147483647 AS h
+          FROM sh),
+        sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+        banded AS ({band_rows})
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id

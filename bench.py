@@ -229,6 +229,11 @@ def main() -> None:
 
     spark = _spark(f"local[{CPUS}]", CPUS)
     qs = em.queries()
+    # warmup: scan both tables + one agg so the first timed query
+    # doesn't absorb JIT/page-cache costs
+    for t in ("events", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    _noop(qs["win_tb_tumbling"](spark, SF_DIR))
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()

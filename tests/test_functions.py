@@ -113,16 +113,22 @@ def test_lang_id_deterministic(spark):
 
 
 def test_minhash_lsh_vs_duckdb(docs, ddb):
-    """MinHash signatures are md5-based → bit-identical in DuckDB."""
-    sh = dedup.word_shingles(docs.limit(100), "doc_id", "text", n=3)
-    sigs = dedup.minhash_signatures(sh, "doc_id", k=8).toPandas()
+    """MinHash signatures (md5 + universal-hash mixes) are bit-identical
+    in DuckDB; LSH candidate pairs likewise."""
+    k, bands, rpb = 8, 2, 4
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    sigs = dedup.minhash_signatures(sh, "doc_id", k=k).toPandas()
+    coeffs = dedup.minhash_coeffs(k)
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {dedup.MINHASH_P}) AS m{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
     want = ddb.execute(
-        """
-        WITH d AS (SELECT * FROM documents WHERE doc_id < 100),
-        toked AS (
+        f"""
+        WITH toked AS (
           SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
                  unnest(generate_series(1, len(string_split_regex(trim(text), '\\s+')))) AS pos
-          FROM d
+          FROM documents
         ),
         sh AS (
           SELECT DISTINCT doc_id,
@@ -130,19 +136,21 @@ def test_minhash_lsh_vs_duckdb(docs, ddb):
           FROM toked
           WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
           QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        ),
+        hashed AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 15))::UBIGINT::BIGINT & 2147483647 AS h
+          FROM sh
         )
-        SELECT doc_id, j, min(md5(j::VARCHAR || '|' || shingle)) AS minhash
-        FROM sh, unnest(generate_series(0, 7)) AS t(j)
-        GROUP BY doc_id, j
+        SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
         """
     ).df()
-    # doc 0..99 limited by doc_id ordering in limit? limit(100) is arbitrary rows —
-    # restrict both sides to the intersection of doc_ids to compare
-    ids = set(sigs["doc_id"]) & set(want["doc_id"])
-    assert len(ids) > 50
-    assert_frames_equal(
-        sigs[sigs.doc_id.isin(ids)], want[want.doc_id.isin(ids)], ["doc_id", "j"]
-    )
+    assert_frames_equal(sigs, want, ["doc_id"])
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(sh, "doc_id", k=k), "doc_id",
+        bands=bands, rows_per_band=rpb,
+    ).toPandas()
+    assert {"id_a", "id_b"} == set(pairs.columns)
 
 
 def test_jaccard_pairs_vs_duckdb(docs, ddb):

@@ -61,39 +61,75 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
 
 
-def minhash_signatures(shingled: DataFrame, id_col: str, k: int = 32) -> DataFrame:
-    """MinHash signature per doc: hash function j = md5(j || '|' || shingle),
-    signature element = lexicographic min. Output: (id, j, minhash)."""
+# MinHash mixing: one md5 per shingle → 60-bit int → k universal-hash
+# mixes h_j = (A_j*h + B_j) mod P over the 31-bit reduction. All md5 /
+# integer arithmetic, reproducible bit-for-bit in ANSI SQL engines.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
+MASK31 = 2_147_483_647
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (Knuth multiplicative
+    constants; fixed, documented — the portable-signature contract)."""
+    return [
+        ((2_654_435_761 * (j + 1)) % MINHASH_P or 1, (40_503 * (j + 17)) % MINHASH_P)
+        for j in range(k)
+    ]
+
+
+def shingle_hash31(col: Column | str) -> Column:
+    """31-bit shingle hash: first 15 hex chars of md5 parsed as int,
+    masked to 31 bits (portable: DuckDB ('0x'||substr)::UBIGINT)."""
+    c = F.col(col) if isinstance(col, str) else col
     return (
-        shingled.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
-            F.col("shingle"),
-        )
-        .select(
-            id_col,
-            "j",
-            F.md5(F.concat_ws("|", F.col("j").cast("string"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy(id_col, "j")
-        .agg(F.min("h").alias("minhash"))
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(MASK31))
     )
+
+
+def minhash_signatures(shingled: DataFrame, id_col: str, k: int = 32) -> DataFrame:
+    """MinHash signature per doc in WIDE form: columns m0..m{k-1}.
+
+    One md5 per shingle, then k integer mixes aggregated as k min()
+    columns in a single hash aggregate — no row explosion, one shuffle
+    of (id, k×8 bytes). The scale path for n-doc corpora: shuffle bytes
+    ≈ docs × k × 8 regardless of document size."""
+    coeffs = minhash_coeffs(k)
+    h = shingle_hash31("shingle")
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{j}")
+        for j, (a, b) in enumerate(coeffs)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signature (band = j div rows_per_band; band key = md5 of
-    the concatenated in-order minhashes) and emit candidate pairs
-    (a < b) sharing ≥1 band bucket. The self-join runs bucket-local —
-    a (band, band_key) hash join, never a global cross product."""
-    banded = (
-        signatures.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(F.concat_ws(",", F.array_sort(F.collect_list(F.concat_ws(":", F.col("j").cast("string"), "minhash"))))).alias("band_key")
+    """Band the wide signature (band b = columns m{b*r}..m{b*r+r-1};
+    band key = md5 of their comma-joined values) and emit candidate
+    pairs (a < b) sharing ≥1 band bucket. The self-join runs
+    bucket-local — a (band, band_key) hash join, never a global cross
+    product."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * rows_per_band + i}").cast("string")
+                        for i in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_key"),
         )
-    )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.band_key")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
