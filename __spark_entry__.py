@@ -30,16 +30,24 @@ HOUR = 3_600_000_000  # microseconds
 MIN15 = 900_000_000
 
 
+def _utc(spark: SparkSession) -> SparkSession:
+    """Pin the session tz: epoch_us casts TIMESTAMP_NTZ through the
+    session zone, and the DuckDB oracles treat naive timestamps as UTC.
+    The driver's session may not be UTC — set it here."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _utc(spark).read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -211,7 +219,7 @@ def q_asof_join(spark, sf_dir):
 def q_ysb_pipeline(spark, sf_dir):
     """YSB shape: filter → broadcast dim join → tumbling window count/max
     (yahoo_app.hpp:149-176) on orders ⋈ customer."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _utc(spark).read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     joined = broadcast_dim_join(
         orders.filter(F.col("o_orderstatus") == "O"),
@@ -327,7 +335,7 @@ def q_streaming_tumbling(spark, sf_dir):
     # file-stream source requires a directory; stage the table file
     path = tempfile.mkdtemp(prefix="wf_gate_stream_")
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(path, "events.parquet"))
-    schema = spark.read.parquet(path).schema
+    schema = _utc(spark).read.parquet(path).schema
     src = se.stream_source(spark, path, schema)
     out = se.stream_win_tb(
         src, ["event_type"], "ts", WinSpec("tb", 3600, 3600),

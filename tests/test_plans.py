@@ -1,0 +1,101 @@
+"""Plan-quality contract: pushdown, pruning, broadcast, exchange
+budget, no cartesian products. These assert the 100 TB posture — a
+plan regression here is a scale bug even when results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from windflow_spark.functions import dedup, similarity
+from windflow_spark.operators.joins import asof_join, broadcast_dim_join
+from windflow_spark.operators.pane_farm import pane_farm
+from windflow_spark.operators.windows import WinSpec, epoch_us, win_seq
+from windflow_spark.plans import audit
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_filter_pushdown_and_pruning(spark, events):
+    df = events.filter(F.col("value") > 100).select("event_id", "value")
+    pushed = audit.pushed_filters(df)
+    assert "GreaterThan(value" in pushed, pushed
+    cols = audit.read_schema(df)
+    assert set(cols) == {"event_id", "value"}, cols
+
+
+def test_win_seq_single_exchange(spark, events):
+    """A windowed aggregate is exactly ONE shuffle (partial agg map-side)."""
+    df = win_seq(
+        events.withColumn("us", epoch_us("ts")), ["event_type"], "us",
+        WinSpec("tb", 3_600_000_000, 900_000_000),
+        aggs={"cnt": F.count(F.lit(1))},
+    )
+    assert audit.count_exchanges(df) == 1, audit.physical_plan(df)
+    plan = audit.physical_plan(df)
+    # map-side partial aggregation present (HashAggregate before exchange)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pane_farm_two_exchanges(spark, events):
+    df = pane_farm(
+        events.withColumn("us", epoch_us("ts")), ["event_type"], "us",
+        WinSpec("tb", 3_600_000_000, 900_000_000),
+        {"p": F.sum("value")}, {"s": F.sum("p")},
+    )
+    assert audit.count_exchanges(df) == 2, audit.physical_plan(df)
+
+
+def test_ysb_join_broadcasts_dim(spark, events):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    df = broadcast_dim_join(orders, cust.select("c_custkey", "c_mktsegment"),
+                            on=[orders.o_custkey == cust.c_custkey])
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_cartesian(df)
+    # the fact side is NOT shuffled for the join
+    assert audit.count_exchanges(df) == 0, audit.physical_plan(df)
+
+
+def test_asof_join_no_cartesian(spark, events):
+    ev = events.withColumn("us", epoch_us("ts"))
+    left = ev.filter(F.col("event_type") == "click")
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("us").alias("r_us"), F.col("event_id").alias("r_id")
+    )
+    df = asof_join(left, right, ["user_id"], "us", "r_us", 10**9,
+                   left_id=["user_id", "event_id"], right_payload=["r_id"])
+    assert not audit.has_cartesian(df), audit.physical_plan(df)
+
+
+def test_dedup_exact_shuffles_digest_only(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = dedup.exact_dedup(docs, "doc_id", "text")
+    cols = audit.read_schema(df)
+    assert set(cols) == {"doc_id", "text"}, cols  # pruned scan
+    assert audit.count_exchanges(df) == 1
+
+
+def test_topk_broadcasts_queries(spark):
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = similarity.brute_force_topk(vecs, vecs.filter(F.col("vec_id") < 5), k=3)
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_cartesian(df)
+
+
+def test_stateless_chain_fuses(spark, events):
+    """Map→Filter→FlatMap fuses into whole-stage codegen (the
+    reference's operator chaining, multipipe.hpp:243-271 — free here)."""
+    from windflow_spark.operators.core import filter_, flat_map, map_
+
+    df = flat_map(
+        filter_(map_(events, v2=F.col("value") * 2), F.col("event_id") % 2 == 0),
+        F.array("v2"), alias="out", keep=["event_id"],
+    )
+    assert audit.count_exchanges(df) == 0
+    assert audit.wholestage_span_count(df) <= 1, audit.physical_plan(df)
