@@ -141,3 +141,26 @@ def test_hopping_discards_gap_rows(spark, cb_grid):
     # per key: ids with id % 10 < 4 are kept
     expect_total = n_keys * sum(1 for i in range(length) if i % 10 < 4)
     assert got["cnt"].sum() == expect_total
+
+
+def test_sliding_agg_auto_routes_and_matches(spark, tb_grid):
+    """sliding_agg: low-overlap specs use the direct plan, high-overlap
+    routes to pane decomposition — identical results either way."""
+    from windflow_spark.operators.pane_farm import sliding_agg
+    from windflow_spark.plans import audit
+
+    df = spark.createDataFrame(tb_grid)
+    aggs = {"sum_value": ("sum", "value"), "cnt": ("count", "value"),
+            "mx": ("max", "value"), "av": ("avg", "value")}
+    lo = sliding_agg(df, ["key"], "ts", WinSpec("tb", 16, 4), aggs)
+    hi = sliding_agg(df, ["key"], "ts", WinSpec("tb", 160, 4), aggs)
+    assert audit.count_exchanges(lo) == 1   # direct
+    assert audit.count_exchanges(hi) == 2   # pane-decomposed
+    # both match win_seq direct output
+    for spec, routed in ((WinSpec("tb", 16, 4), lo), (WinSpec("tb", 160, 4), hi)):
+        want = win_seq(
+            df, ["key"], "ts", spec,
+            aggs={"sum_value": F.sum("value"), "cnt": F.count(F.lit(1)),
+                  "mx": F.max("value"), "av": F.avg("value")},
+        ).toPandas()
+        assert_frames_equal(routed.toPandas(), want, ["key", "gwid"])

@@ -21,7 +21,7 @@ optimization; Python only runs inside Arrow-vectorized pandas UDFs.
 from windflow_spark.session import get_spark
 from windflow_spark.api import Pipe
 from windflow_spark.operators.windows import WinSpec, win_seq
-from windflow_spark.operators.pane_farm import pane_farm
+from windflow_spark.operators.pane_farm import pane_farm, sliding_agg
 from windflow_spark.operators.win_mapreduce import win_mapreduce
 
 __version__ = "0.1.0"
@@ -32,6 +32,7 @@ __all__ = [
     "WinSpec",
     "win_seq",
     "pane_farm",
+    "sliding_agg",
     "win_mapreduce",
     "__version__",
 ]
