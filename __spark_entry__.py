@@ -236,6 +236,34 @@ def q_ysb_pipeline(spark, sf_dir):
     )
 
 
+def q_cube_agg(spark, sf_dir):
+    """Grouping-set aggregation (SURVEY.md §2.7: free via the Spark API;
+    no reference counterpart)."""
+    li = _utc(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    )
+
+
+def q_rollup_agg(spark, sf_dir):
+    orders = _utc(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operations: users who clicked AND viewed minus users who
+    erred (intersect/except — union is covered by union_pipes)."""
+    ev = _events(spark, sf_dir)
+    clickers = ev.filter((F.col("event_type") == "click") & (F.col("value") > 150)).select("user_id").distinct()
+    viewers = ev.filter((F.col("event_type") == "view") & (F.col("value") > 150)).select("user_id").distinct()
+    erred = ev.filter((F.col("event_type") == "error") & (F.col("value") > 150)).select("user_id").distinct()
+    return clickers.intersect(viewers).exceptAll(erred)
+
+
 def q_topk_per_key(spark, sf_dir):
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy(
@@ -396,6 +424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "ysb_pipeline": q_ysb_pipeline,
         "topk_per_key": q_topk_per_key,
+        "cube_agg": q_cube_agg,
+        "rollup_agg": q_rollup_agg,
+        "set_ops": q_set_ops,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -564,6 +595,23 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY event_type
                                     ORDER BY value DESC, event_id ASC) AS rnk
           FROM events) WHERE rnk <= 3
+    """
+    sql["cube_agg"] = """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               round(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+    sql["rollup_agg"] = """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """
+    sql["set_ops"] = """
+        SELECT user_id FROM events WHERE event_type = 'click' AND value > 150
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'view' AND value > 150
+        EXCEPT ALL
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 150
     """
     sql["dedup_exact"] = """
         SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
