@@ -223,7 +223,11 @@ def main() -> None:
     if "--stream" in sys.argv:
         run_stream_bench(int(sys.argv[sys.argv.index("--stream") + 1]))
         return
-    do_scaling = "--no-scaling" not in sys.argv
+    do_scaling = (
+        "--no-scaling" not in sys.argv
+        and os.environ.get("SPARK_GRAFT_BENCH_FAST") != "1"
+    )
+    t_start = time.time()
 
     import __spark_entry__ as em
 
@@ -240,10 +244,12 @@ def main() -> None:
         _noop(qs[name](spark, SF_DIR))
         times[name] = round(time.time() - t0, 3)
 
-    # flagship throughput (amplified stream)
+    # flagship throughput (amplified stream); warm once, time once —
+    # the scaling section measures it more carefully in fresh JVMs
     materialize_amplified(spark, SF_DIR, AMP)
     n_in = spark.read.parquet(_amp_path(AMP)).count()
     df = flagship(spark, AMP)
+    _noop(df)
     t0 = time.time()
     _noop(df)
     fl_sec = time.time() - t0
@@ -260,7 +266,11 @@ def main() -> None:
         # VM timing noise is ±20%: take the best of 2 fresh-JVM runs per
         # size (each itself best-of-3 in-JVM) for a stable ratio
         best: dict[int, float] = {}
-        for cores in (8, 32, 8, 32):
+        for i, cores in enumerate((8, 32, 8, 32)):
+            # second pair only if the time budget allows (guards against
+            # a driver-side timeout cutting the final JSON line entirely)
+            if i >= 2 and time.time() - t_start > 420:
+                break
             out = subprocess.run(
                 [sys.executable, __file__, "--single", str(cores)],
                 capture_output=True, text=True, timeout=1200,

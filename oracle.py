@@ -10,7 +10,6 @@ engine bugs can't leak into the expectation.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Callable
 
 import numpy as np

@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, SparkSession
 @lru_cache(maxsize=4)
 def iceberg_available(app: str = "probe") -> bool:
     try:
-        from py4j.java_gateway import java_import  # noqa: F401
         from pyspark.sql import SparkSession as S
 
         spark = S.getActiveSession()

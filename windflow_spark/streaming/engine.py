@@ -25,9 +25,7 @@ tests feed per-key-ordered input (SURVEY.md §4.2 gap note).
 from __future__ import annotations
 
 import json
-import time
 from collections.abc import Iterator, Sequence
-from pathlib import Path
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
