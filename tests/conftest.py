@@ -15,7 +15,11 @@ import datagen  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("windflow-tests", master="local[4]", shuffle_partitions=4)
+    # streaming=True → RocksDB state store: every streaming test runs on
+    # the production state backend
+    s = get_spark(
+        "windflow-tests", master="local[4]", shuffle_partitions=4, streaming=True
+    )
     yield s
 
 

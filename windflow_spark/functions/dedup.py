@@ -192,20 +192,29 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     Deterministic (md5-based, order-independent sum)."""
     import hashlib
 
+    shifts = np.arange(bits, dtype=np.uint64)
+
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
+        # memoize token hashes within the Arrow batch (Zipfian tokens
+        # repeat heavily); bit votes fully vectorized in numpy
+        cache: dict[str, int] = {}
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            votes = np.zeros(bits, dtype=np.int64)
-            for tok in (t or "").split():
-                h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
-                for b in range(bits):
-                    votes[b] += 1 if (h >> b) & 1 else -1
-            sig = 0
-            for b in range(bits):
-                if votes[b] > 0:
-                    sig |= 1 << b
-            out[i] = np.int64(np.uint64(sig).astype(np.int64))
+            toks = (t or "").split()
+            if not toks:
+                continue
+            hs = np.empty(len(toks), dtype=np.uint64)
+            for j, tok in enumerate(toks):
+                h = cache.get(tok)
+                if h is None:
+                    h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+                    cache[tok] = h
+                hs[j] = h
+            bits_m = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits_m - 1).sum(axis=0)
+            sig = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            out[i] = np.uint64(sig).astype(np.int64)
         return pd.Series(out)
 
     return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
