@@ -401,6 +401,17 @@ def q_streaming_cb(spark, sf_dir):
     )
 
 
+def q_per_turn_text(spark, sf_dir):
+    """input_hint invariant surfaced in the gate: per-row text equality
+    after a deterministic Map rewrite, under stable ordering — the
+    driver's value-hash IS the text-equality check."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.upper("text").alias("text_upper"),
+        F.length("text").alias("text_len"),
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     media = multimodal.synth_media(_docs(spark, sf_dir), "doc_id", "text", kind="image")
     feats = multimodal.extract_features(media)
@@ -440,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "per_turn_text": q_per_turn_text,
         "streaming_tumbling": q_streaming_tumbling,
         "streaming_cb": q_streaming_cb,
     }
@@ -738,6 +750,10 @@ def oracle_sql() -> dict[str, str]:
           FROM ids i JOIN mx ON i.user_key = mx.user_key
           GROUP BY i.user_key, wf_id // 10)
         SELECT user_key, gwid, sum_value, cnt, win_end FROM agg WHERE win_end <= m
+    """
+    sql["per_turn_text"] = """
+        SELECT doc_id, upper(text) AS text_upper, length(text) AS text_len
+        FROM documents
     """
     sql["multimodal_meta"] = """
         SELECT doc_id AS media_id, 'image' AS kind,

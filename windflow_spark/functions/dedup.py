@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from windflow_spark.functions.text import fingerprint, tokens
@@ -45,18 +45,21 @@ def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: posexplode tokens, then
-    n-token windows via lead() — pure Catalyst, order-exact."""
-    toked = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    sh = F.concat_ws(" ", "tok", *[F.lead("tok", i).over(w) for i in range(1, n)])
+    """Distinct word n-gram shingles per doc, computed entirely map-side:
+    ``transform(sequence(...), i -> concat_ws(' ', slice(tokens, i, n)))``
+    then explode — no window function, so no exchange+sort of the token
+    stream (the earlier lead()-based plan shuffled every token). The
+    only exchange left is the distinct()."""
+    toks = tokens(text_col)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        toked.withColumn("shingle", sh)
-        .withColumn("_last", F.lead("tok", n - 1).over(w))
-        .filter(F.col("_last").isNotNull())
-        .select(id_col, "shingle")
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .distinct()
     )
 
