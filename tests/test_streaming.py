@@ -275,3 +275,50 @@ def test_stream_accumulate_equals_batch(spark, tx_path):
     want["turn_idx"] = want["turn_idx"].astype("int64")
     assert len(got) == len(want)
     assert_frames_equal(got, want, ["conv_id", "turn_idx"])
+
+
+def test_ysb_streaming_e2e(spark, tdir):
+    """YSB shape in streaming: filter → broadcast static dim join →
+    tumbling 10s count+max per campaign (yahoo_app.hpp:149-176),
+    streaming result == batch oracle."""
+    import datagen as dg
+
+    events_pd, campaigns_pd = dg.gen_ysb(n_events=6000)
+    src_dir = str(tdir / "ysb_src")
+    os.makedirs(src_dir, exist_ok=True)
+    dg.write_parquet_us(events_pd, f"{src_dir}/events.parquet")
+    campaigns = spark.createDataFrame(campaigns_pd)
+
+    schema = spark.read.parquet(src_dir).schema
+    src = se.stream_source(spark, src_dir, schema)
+    joined = (
+        src.filter(F.col("event_type") == 0)
+        .join(F.broadcast(campaigns), "ad_id")
+    )
+    stream = se.stream_win_tb(
+        joined, ["cmp_id"], "ts", WinSpec("tb", 10, 10),
+        aggs={"cnt": F.count(F.lit(1)), "last_us": F.max(F.unix_micros(F.col("ts").cast("timestamp")))},
+        watermark="60 seconds", unit="second",
+    )
+    got = se.run_to_memory(stream, "t_ysb", spark, output_mode="complete").toPandas()
+    f = events_pd[events_pd.event_type == 0].merge(campaigns_pd, on="ad_id")
+    us = f["ts"].astype("int64") // 1000
+    want = (
+        f.assign(gwid=us // 10_000_000, u=us)
+        .groupby(["cmp_id", "gwid"])
+        .agg(cnt=("u", "size"), last_us=("u", "max"))
+        .reset_index()
+    )
+    assert_frames_equal(got, want, ["cmp_id", "gwid"])
+
+
+def test_union_three_pipes(spark, tx_path):
+    """union_test analogue: 3-way union of disjoint sub-streams
+    reconstitutes the stream (src/union_test/test_union_3.cpp)."""
+    from windflow_spark.api import Pipe
+
+    df = spark.read.parquet(tx_path)
+    parts = [Pipe.source(df.filter(F.col("turn_idx") % 3 == i)) for i in range(3)]
+    merged = parts[0].union_(parts[1], parts[2]).collect_pandas()
+    assert len(merged) == df.count()
+    assert merged["turn_idx"].sum() == df.toPandas()["turn_idx"].sum()
