@@ -24,7 +24,8 @@ from windflow_spark.operators.joins import asof_join, broadcast_dim_join
 from windflow_spark.operators.pane_farm import pane_farm
 from windflow_spark.operators.sessions import session_windows
 from windflow_spark.operators.win_mapreduce import win_mapreduce
-from windflow_spark.operators.windows import WinSpec, cb_ids, epoch_us, win_seq
+from windflow_spark.operators.windows import (WinSpec, cb_ids, epoch_us, win_seq,
+    windowed_count_distinct, windowed_topk)
 
 HOUR = 3_600_000_000  # microseconds
 MIN15 = 900_000_000
@@ -236,6 +237,25 @@ def q_ysb_pipeline(spark, sf_dir):
     )
 
 
+def q_win_topk(spark, sf_dir):
+    """Top-k per (key, window): single hash aggregate (sorted-array
+    slice), no per-group sort stage."""
+    ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
+    return windowed_topk(
+        ev, ["event_type"], "us", WinSpec("tb", 6 * HOUR, 6 * HOUR),
+        order_col="value", payload=["event_id", "value"], k=3,
+    )
+
+
+def q_win_count_distinct(spark, sf_dir):
+    """Exact windowed COUNT(DISTINCT user_id) via the two-level
+    pre-distinct form (the distinct-agg skew fix)."""
+    ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
+    return windowed_count_distinct(
+        ev, ["event_type"], "us", WinSpec("tb", 6 * HOUR, 6 * HOUR), "user_id"
+    )
+
+
 def q_cube_agg(spark, sf_dir):
     """Grouping-set aggregation (SURVEY.md §2.7: free via the Spark API;
     no reference counterpart)."""
@@ -435,6 +455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "ysb_pipeline": q_ysb_pipeline,
         "topk_per_key": q_topk_per_key,
+        "win_topk": q_win_topk,
+        "win_count_distinct": q_win_count_distinct,
         "cube_agg": q_cube_agg,
         "rollup_agg": q_rollup_agg,
         "set_ops": q_set_ops,
@@ -607,6 +629,21 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY event_type
                                     ORDER BY value DESC, event_id ASC) AS rnk
           FROM events) WHERE rnk <= 3
+    """
+    sql["win_topk"] = """
+        SELECT event_type, gwid, rnk, event_id, value FROM (
+          SELECT event_type,
+                 cast(floor(epoch_us(ts)/21600000000.0) AS BIGINT) AS gwid,
+                 event_id, value,
+                 row_number() OVER (
+                   PARTITION BY event_type, cast(floor(epoch_us(ts)/21600000000.0) AS BIGINT)
+                   ORDER BY value DESC, event_id ASC) AS rnk
+          FROM events) WHERE rnk <= 3
+    """
+    sql["win_count_distinct"] = """
+        SELECT event_type, cast(floor(epoch_us(ts)/21600000000.0) AS BIGINT) AS gwid,
+               count(DISTINCT user_id) AS n_distinct
+        FROM events GROUP BY 1, 2
     """
     sql["cube_agg"] = """
         SELECT l_returnflag, l_linestatus, count(*) AS cnt,

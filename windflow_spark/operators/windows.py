@@ -204,6 +204,63 @@ def win_seq(
     return out
 
 
+def windowed_topk(
+    df: DataFrame,
+    keys: Sequence[str],
+    unit_col: Column | str,
+    spec: WinSpec,
+    order_col: str,
+    payload: Sequence[str],
+    k: int = 3,
+    origin: int = 0,
+) -> DataFrame:
+    """Top-k rows per (key, window) by ``order_col`` desc (ties broken
+    by the first payload column asc). One hash aggregate: collect the
+    per-window candidates as a sorted array and slice — no per-group
+    sort task, no second shuffle. At scale the collect_list is bounded
+    by window size; for huge windows prefer a pane-style pre-top-k."""
+    widdf = assign_wids(df, unit_col, spec, origin=origin)
+    item = F.struct(
+        (-F.col(order_col)).alias("_neg"),
+        *[F.col(c).alias(c) for c in [*payload]],
+    )
+    arr = F.slice(F.array_sort(F.collect_list(item)), 1, k)
+    out = (
+        widdf.groupBy(*keys, GWID)
+        .agg(arr.alias("_top"))
+        .select(*keys, GWID, F.posexplode("_top").alias("_pos", "_it"))
+        .select(
+            *keys,
+            GWID,
+            (F.col("_pos") + 1).alias("rnk"),
+            *[F.col(f"_it.{c}").alias(c) for c in payload],
+        )
+    )
+    return out
+
+
+def windowed_count_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    unit_col: Column | str,
+    spec: WinSpec,
+    distinct_col: str,
+    origin: int = 0,
+) -> DataFrame:
+    """Exact COUNT(DISTINCT x) per (key, window). Distinct aggregates
+    only partially map-side-combine (Spark expands), so this is the
+    case where hot keys DO skew the exchange — the two-level form here
+    pre-distincts on (key, gwid, x) before counting, which is the
+    salted/pane-style fix expressed directly."""
+    widdf = assign_wids(df, unit_col, spec, origin=origin)
+    return (
+        widdf.select(*keys, GWID, distinct_col)
+        .distinct()  # stage 1: dedupe (key, gwid, x) — combinable
+        .groupBy(*keys, GWID)
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+
+
 def tb_window_native(
     df: DataFrame,
     keys: Sequence[str],
