@@ -322,3 +322,49 @@ def test_union_three_pipes(spark, tx_path):
     merged = parts[0].union_(parts[1], parts[2]).collect_pandas()
     assert len(merged) == df.count()
     assert merged["turn_idx"].sum() == df.toPandas()["turn_idx"].sum()
+
+
+def test_stream_cb_out_of_order_drop_parity(spark, tdir):
+    """Reference out-of-order drop rule (win_seq.hpp:289-305): a later
+    batch delivering earlier ids gets them DROPPED; fired windows match
+    an oracle applying the same rule to the arrival sequence."""
+    import numpy as np
+
+    src_dir = str(tdir / "ooo_src")
+    os.makedirs(src_dir, exist_ok=True)
+    # file 1 (batch 1): ids 0..9 and 20..29; file 2 (batch 2): ids
+    # 10..19 (late — all ≤ last seen id 29 → dropped) and 30..39
+    ids1 = list(range(0, 10)) + list(range(20, 30))
+    ids2 = list(range(10, 20)) + list(range(30, 40))
+    mk = lambda ids: pd.DataFrame(
+        {"k": "c0", "i": np.array(ids, dtype=np.int64),
+         "v": np.array(ids, dtype=np.float64)}
+    )
+    datagen.write_parquet_us(mk(ids1), f"{src_dir}/a.parquet")
+
+    schema = spark.read.parquet(src_dir).schema
+    spec = WinSpec("cb", 10, 10)
+    sink, ckpt = str(tdir / "ooo_sink"), str(tdir / "ooo_ckpt")
+
+    def run():
+        src = se.stream_source(spark, src_dir, schema, max_files_per_trigger=1)
+        return se.stream_cb_windows(src, "k", "i", "v", spec, on_late="drop")
+
+    se.run_available_now(run(), sink, ckpt)
+    datagen.write_parquet_us(mk(ids2), f"{src_dir}/b.parquet")
+    se.run_available_now(run(), sink, ckpt)
+    got = spark.read.parquet(sink).toPandas().sort_values("gwid")
+    # oracle: arrival order = ids1 then ids2; drop i <= last seen
+    survived, last = [], -1
+    for i in ids1 + ids2:
+        if i > last:
+            survived.append(i)
+            last = i
+    # fired windows: w with all of [w*10, w*10+9] ... fire on last id seen;
+    # surviving ids: 0..9, 20..29, 30..39 → windows 0,2,3 fire; window 1 never
+    assert got["gwid"].tolist() == [0, 2, 3]
+    for _, r in got.iterrows():
+        w = int(r["gwid"])
+        expect = [i for i in survived if w * 10 <= i < w * 10 + 10]
+        assert r["cnt"] == len(expect)
+        assert r["sum_value"] == float(sum(expect))

@@ -112,40 +112,50 @@ def stream_cb_windows(
     id_col: str,
     value_col: str,
     spec: WinSpec,
+    on_late: str = "assume_ordered",
 ) -> DataFrame:
     """Count-based windows in streaming: keyed stateful processor via
     applyInPandasWithState.
 
-    State per key: running partial (sum, cnt) per open window id. A
-    tuple with per-key monotone id ``i`` belongs to wids
-    [max(0, floor((i-win)/slide)+1), floor(i/slide)]; window w fires
-    (is emitted) when its last tuple (id == w*slide+win-1) arrives —
-    Triggerer_CB (includes/window.hpp:49-67). Partial windows remain in
-    state; the final drain emits them via timeout at EOS is not needed
-    in availableNow runs — tests compare fired windows, and the batch
-    path covers EOS-flush semantics.
+    State per key: running partial (sum, cnt) per open window id plus
+    the last processed id. A tuple with per-key monotone id ``i``
+    belongs to wids [max(0, floor((i-win)/slide)+1), floor(i/slide)];
+    window w fires (is emitted) when its last tuple
+    (id == w*slide+win-1) arrives — Triggerer_CB
+    (includes/window.hpp:49-67). Partial windows remain in state;
+    batch-mode covers the EOS partial flush.
 
-    Requires per-key-ordered arrival of ids within and across batches —
-    guaranteed for transcripts (turn_idx arrives in order per conv)
-    and by single-writer file sources.
+    ``on_late`` — cross-batch out-of-order policy:
+    - "assume_ordered": ids arrive in order per key across batches
+      (transcripts / single-writer file sources); cheapest.
+    - "drop": REFERENCE PARITY — any id ≤ the last processed id for the
+      key is discarded, exactly the reference's out-of-order drop rule
+      (includes/win_seq.hpp:289-305, wf_nodes.hpp:104-121).
+    Within a batch, rows are always processed in id order.
     """
+    if on_late not in ("assume_ordered", "drop"):
+        raise ValueError(f"unknown on_late policy {on_late!r}")
     win, slide = spec.win, spec.slide
     out_schema = f"{key} string, gwid long, sum_value double, cnt long, win_end long"
-    state_schema = "wids array<long>, sums array<double>, cnts array<long>"
+    state_schema = "wids array<long>, sums array<double>, cnts array<long>, last_id long"
 
     def proc(
         k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            wids, sums, cnts = state.get
+            wids, sums, cnts, last_id = state.get
             open_w = {w: [s, c] for w, s, c in zip(wids, sums, cnts)}
         else:
-            open_w = {}
+            open_w, last_id = {}, -1
         fired = []
         for pdf in pdfs:
             pdf = pdf.sort_values(id_col)
             for i, v in zip(pdf[id_col], pdf[value_col]):
                 i = int(i)
+                if on_late == "drop":
+                    if i <= last_id:
+                        continue  # reference drop rule
+                    last_id = i
                 last = i // slide
                 first = max(0, (i - win) // slide + 1)
                 for w in range(first, last + 1):
@@ -163,6 +173,7 @@ def stream_cb_windows(
                 [w for w, _ in items],
                 [p[0] for _, p in items],
                 [p[1] for _, p in items],
+                last_id,
             )
         )
         if fired:
