@@ -24,6 +24,8 @@ SHOW = [
     "dedup_minhash_lsh",
     "embedding_topk",
     "micro1_stateless",
+    "win_topk",
+    "win_count_distinct",
 ]
 
 
