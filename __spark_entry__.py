@@ -292,7 +292,7 @@ def q_topk_per_key(spark, sf_dir):
     return (
         ev.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("event_type", "rnk", "event_id", "value")
+        .select("event_type", F.col("rnk").cast("long").alias("rnk"), "event_id", "value")
     )
 
 
@@ -358,8 +358,8 @@ def q_text_langid(spark, sf_dir):
 def q_token_counts(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id",
-        text.token_count("text").alias("ws_tokens"),
-        text.bpe_token_count("text").alias("bpe_tokens"),
+        text.token_count("text").cast("long").alias("ws_tokens"),
+        text.bpe_token_count("text").cast("long").alias("bpe_tokens"),
     )
 
 
@@ -428,7 +428,7 @@ def q_per_turn_text(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.upper("text").alias("text_upper"),
-        F.length("text").alias("text_len"),
+        F.length("text").cast("long").alias("text_len"),
     )
 
 

@@ -232,7 +232,7 @@ def windowed_topk(
         .select(
             *keys,
             GWID,
-            (F.col("_pos") + 1).alias("rnk"),
+            (F.col("_pos") + 1).cast("long").alias("rnk"),
             *[F.col(f"_it.{c}").alias(c) for c in payload],
         )
     )
