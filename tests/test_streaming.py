@@ -368,3 +368,28 @@ def test_stream_cb_out_of_order_drop_parity(spark, tdir):
         expect = [i for i in survived if w * 10 <= i < w * 10 + 10]
         assert r["cnt"] == len(expect)
         assert r["sum_value"] == float(sum(expect))
+
+
+def test_stream_cb_tws_matches_classic(spark, tx_path):
+    """transformWithStateInPandas implementation == classic
+    applyInPandasWithState implementation, batch-restricted oracle."""
+    if not se.tws_available():
+        pytest.skip("protobuf runtime absent — TWS unavailable in this container")
+    schema = _schema(spark, tx_path)
+    spec = WinSpec("cb", 8, 4)
+
+    def build(fn):
+        src = se.stream_source(spark, tx_path, schema, max_files_per_trigger=1)
+        return fn(
+            src.withColumn("text_len", F.length("text").cast("double")),
+            "conv_id", "turn_idx", "text_len", spec,
+        )
+
+    classic = se.run_to_memory(
+        build(se.stream_cb_windows), "t_cb_classic2", spark, output_mode="append"
+    ).toPandas()
+    tws = se.run_to_memory(
+        build(se.stream_cb_windows_tws), "t_cb_tws", spark, output_mode="append"
+    ).toPandas()
+    assert len(tws) == len(classic) > 0
+    assert_frames_equal(tws, classic, ["conv_id", "gwid"])

@@ -351,3 +351,93 @@ class MetricsListener:
             return None
         ds = sorted(r["batch_duration_ms"] for r in self.rows)
         return ds[min(len(ds) - 1, int(0.99 * len(ds)))]
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf runtime for its
+    state-server protocol; absent in this container (pip install is
+    unavailable). Present on standard cluster images."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_cb_windows_tws(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    value_col: str,
+    spec: WinSpec,
+) -> DataFrame:
+    """Count-based windows on the transformWithStateInPandas API
+    (Spark 4.x successor of applyInPandasWithState): typed per-key
+    ValueState, Arrow-batched input, same Triggerer_CB fire rule as
+    stream_cb_windows. Kept alongside the classic implementation —
+    parity-tested against it — as the forward path (timers enable
+    future EOS flush of partial windows in continuous mode)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf "
+            "(missing in this environment) — use stream_cb_windows"
+        )
+
+    win, slide = spec.win, spec.slide
+    out_schema = f"{key} string, gwid long, sum_value double, cnt long, win_end long"
+
+    class CBWindows(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "open_windows",
+                "wids array<long>, sums array<double>, cnts array<long>",
+            )
+
+        def handleInputRows(self, k, rows, timerValues):
+            got = self._state.get()
+            if got is not None:
+                wids, sums, cnts = got
+                open_w = {w: [s, c] for w, s, c in zip(wids, sums, cnts)}
+            else:
+                open_w = {}
+            fired = []
+            for pdf in rows:
+                pdf = pdf.sort_values(id_col)
+                for i, v in zip(pdf[id_col], pdf[value_col]):
+                    i = int(i)
+                    last = i // slide
+                    first = max(0, (i - win) // slide + 1)
+                    for w in range(first, last + 1):
+                        part = open_w.setdefault(w, [0.0, 0])
+                        part[0] += float(v)
+                        part[1] += 1
+                        if i == w * slide + win - 1:  # Triggerer_CB
+                            fired.append(
+                                (k[0], w, part[0], part[1], w * slide + win - 1)
+                            )
+                            del open_w[w]
+            items = sorted(open_w.items())
+            self._state.update(
+                (
+                    [w for w, _ in items],
+                    [p[0] for _, p in items],
+                    [p[1] for _, p in items],
+                )
+            )
+            if fired:
+                yield pd.DataFrame(
+                    fired, columns=[key, "gwid", "sum_value", "cnt", "win_end"]
+                )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key).transformWithStateInPandas(
+        CBWindows(), out_schema, "append", "none"
+    )
