@@ -339,6 +339,13 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    vecs = _vecs(spark, sf_dir)
+    return similarity.ivf_topk(
+        vecs, vecs.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4
+    )
+
+
 def q_text_quality(spark, sf_dir):
     return text.quality_features(_docs(spark, sf_dir)).select(
         "doc_id",
@@ -468,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_dedup": q_embedding_dedup,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "token_counts": q_token_counts,

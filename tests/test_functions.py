@@ -274,3 +274,19 @@ def test_multimodal_plumbing(docs):
     assert hashlib.md5(bytes(mrow["payload"])).hexdigest() == row["digest"]
     frames = multimodal.frame_sample_plan(media, every_ms=500).toPandas()
     assert (frames.groupby("media_id").size() > 1).all()
+
+
+def test_ivf_topk_recall(vecs):
+    """IVF ANN recall@5 vs brute force with nprobe=6 of 16 cells on
+    64-dim random vectors — candidates ~3/8 of corpus, recall well
+    above the candidate fraction."""
+    queries = vecs.filter(F.col("vec_id") < 20)
+    bf = similarity.brute_force_topk(vecs, queries, k=5).toPandas()
+    ivf = similarity.ivf_topk(vecs, queries, k=5, n_cells=16, nprobe=6).toPandas()
+    hits = tot = 0
+    for q in range(20):
+        want = set(bf[bf.q_id == q]["c_id"])
+        got = set(ivf[ivf.q_id == q]["c_id"])
+        hits += len(want & got)
+        tot += len(want)
+    assert hits / tot >= 0.5, hits / tot

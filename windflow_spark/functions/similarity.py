@@ -165,3 +165,72 @@ def embedding_dedup_pairs(
 
 def _dim_of(vecs: DataFrame, vec_col: str) -> int:
     return len(vecs.select(vec_col).first()[0])
+
+
+def ivf_cell_udf(centroids: np.ndarray, nprobe: int = 1):
+    """Vectorized IVF cell assignment: nearest ``nprobe`` centroids by
+    cosine (one numpy matmul per Arrow batch). Returns an array<int>
+    of cell ids (corpus uses nprobe=1; queries probe several)."""
+    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("array<int>")
+    def _cells(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ c.T  # (batch, n_cells)
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return _cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-style ANN top-k: corpus partitioned into ``n_cells`` Voronoi
+    cells around deterministically-sampled centroids (the lowest-id
+    corpus vectors — a fixed, reproducible codebook); each query probes
+    its ``nprobe`` nearest cells and exact-ranks only those candidates.
+
+    Scale shape: cell assignment is one vectorized UDF pass; the
+    candidate join is a hash join on cell id touching ~nprobe/n_cells
+    of the corpus per query — the IVF analogue of the LSH bucket join."""
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = np.array([list(r[vec_col]) for r in cent_rows], dtype=np.float64)
+    c_assign = ivf_cell_udf(centroids, nprobe=1)
+    q_assign = ivf_cell_udf(centroids, nprobe=nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.explode(c_assign(F.col(vec_col))).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(q_assign(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", "q_vec", "c_vec")
+        .distinct()
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "cos")
+    )
