@@ -393,3 +393,21 @@ def test_stream_cb_tws_matches_classic(spark, tx_path):
     ).toPandas()
     assert len(tws) == len(classic) > 0
     assert_frames_equal(tws, classic, ["conv_id", "gwid"])
+
+
+def test_ordered_streaming_emission(spark, tx_path, tdir):
+    """WF_Collector in streaming: per-batch sorted parquet emission;
+    per-key gwids arrive consecutive from 0 (sum_cb.hpp:142-153)."""
+    schema = _schema(spark, tx_path)
+    src = se.stream_source(spark, tx_path, schema, max_files_per_trigger=1)
+    stream = se.stream_cb_windows(
+        src.withColumn("v", F.length("text").cast("double")),
+        "conv_id", "turn_idx", "v", WinSpec("cb", 4, 4),
+    )
+    sink, ckpt = str(tdir / "ord_sink"), str(tdir / "ord_ckpt")
+    se.run_available_now_ordered(stream, sink, ckpt, ["conv_id", "gwid"])
+    out = spark.read.parquet(sink).toPandas()
+    assert len(out) > 0
+    for _, g in out.groupby("conv_id"):
+        wids = sorted(g["gwid"])
+        assert wids == list(range(len(wids)))

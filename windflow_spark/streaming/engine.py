@@ -441,3 +441,36 @@ def stream_cb_windows_tws(
     return df.groupBy(key).transformWithStateInPandas(
         CBWindows(), out_schema, "append", "none"
     )
+
+
+def run_available_now_ordered(
+    df: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    order_by: Sequence[str],
+    timeout_sec: int = 300,
+) -> None:
+    """Exactly-once drain with ORDERED per-micro-batch emission — the
+    WF_Collector semantics (wf_nodes.hpp:399-468) in streaming: each
+    batch's results are written sorted by ``order_by`` (cross-batch
+    total order additionally needs the deterministic (key, gwid) sort
+    the readers apply — same caveat the reference documents for
+    multi-emitter runs)."""
+
+    def write_sorted(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.orderBy(*order_by)
+            .write.mode("append")
+            .parquet(sink_path)
+        )
+
+    q = (
+        df.writeStream.foreachBatch(write_sorted)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"stream did not drain in {timeout_sec}s")
