@@ -439,6 +439,25 @@ def q_per_turn_text(spark, sf_dir):
     )
 
 
+def q_doc_rolling_hash(spark, sf_dir):
+    """Rabin-Karp polynomial fingerprint over normalized text
+    (sequential F.aggregate fold == DuckDB list_reduce)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", text.rolling_hash("text").alias("rhash")
+    )
+
+
+def q_win_approx_distinct(spark, sf_dir):
+    """Sketch aggregate: HyperLogLog++ approx distinct users per
+    tumbling window — rows-only check (sketch estimates are
+    implementation-specific; exactness covered by win_count_distinct)."""
+    ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
+    return win_seq(
+        ev, ["event_type"], "us", WinSpec("tb", 6 * HOUR, 6 * HOUR),
+        aggs={"approx_users": F.approx_count_distinct("user_id")},
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     media = multimodal.synth_media(_docs(spark, sf_dir), "doc_id", "text", kind="image")
     feats = multimodal.extract_features(media)
@@ -480,6 +499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_rolling_hash": q_doc_rolling_hash,
+        "win_approx_distinct": q_win_approx_distinct,
         "multimodal_meta": q_multimodal_meta,
         "per_turn_text": q_per_turn_text,
         "streaming_tumbling": q_streaming_tumbling,
@@ -771,6 +792,15 @@ def oracle_sql() -> dict[str, str]:
     sql["token_counts"] = f"""
         SELECT doc_id, len({_QUALITY_TOKS}) AS ws_tokens,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+        FROM documents
+    """
+    sql["doc_rolling_hash"] = """
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   [ord(c)::BIGINT for c in
+                    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '')]),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS rhash
         FROM documents
     """
     sql["doc_fingerprint"] = """

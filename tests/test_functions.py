@@ -290,3 +290,24 @@ def test_ivf_topk_recall(vecs):
         hits += len(want & got)
         tot += len(want)
     assert hits / tot >= 0.5, hits / tot
+
+
+def test_rolling_hash_vs_python(spark, docs):
+    """Rabin-Karp fold == direct python recomputation."""
+    import re as _re
+
+    got = (
+        docs.limit(20)
+        .select("doc_id", "text", text.rolling_hash("text").alias("rhash"))
+        .toPandas()
+    )
+
+    def ref(t):
+        norm = _re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+        h = 0
+        for ch in norm:
+            h = (h * 31 + ord(ch)) % 1_000_000_007
+        return h
+
+    for _, r in got.iterrows():
+        assert r["rhash"] == ref(r["text"]), r["doc_id"]

@@ -101,3 +101,20 @@ def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text — identical
     whitespace/punct variants collide (the classic exact-ish dedup key)."""
     return F.md5(normalize_text(col))
+
+
+ROLLING_B = 31
+ROLLING_P = 1_000_000_007
+
+
+def rolling_hash(col: Column | str, base: int = ROLLING_B, mod: int = ROLLING_P) -> Column:
+    """Polynomial rolling hash (Rabin-Karp) over the character codes of
+    the normalized text: ``h = fold(chars, 0, (a, c) -> (a*B + c) % P)``.
+    Sequential fold via F.aggregate — deterministic and reproducible in
+    ANSI SQL (DuckDB ``list_reduce`` with a prepended 0 seed)."""
+    chars = F.split(normalize_text(col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(base) + F.ascii(ch)) % F.lit(mod),
+    )
