@@ -21,7 +21,7 @@ from windflow_spark.functions import dedup, similarity, text
 from windflow_spark.functions import multimodal
 from windflow_spark.operators.core import accumulate, flat_map
 from windflow_spark.operators.joins import asof_join, broadcast_dim_join
-from windflow_spark.operators.pane_farm import pane_farm
+from windflow_spark.operators.pane_farm import hierarchical_rollup, pane_farm
 from windflow_spark.operators.sessions import session_windows
 from windflow_spark.operators.win_mapreduce import win_mapreduce
 from windflow_spark.operators.windows import (WinSpec, cb_ids, epoch_us, win_seq,
@@ -158,6 +158,19 @@ def q_win_mapreduce_sliding(spark, sf_dir):
         merge_aggs={"cnt": F.sum("p_cnt"), "sum_value": F.round(F.sum("p_sum"), 4)},
         degree=8,
     )
+
+
+def q_hypertable_rollup(spark, sf_dir):
+    """Hierarchical continuous aggregate: the 24h level computed from
+    6h partials which come from 1h partials — one raw scan."""
+    ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
+    levels = hierarchical_rollup(
+        ev, ["event_type"], "us", [HOUR, 6 * HOUR, 24 * HOUR],
+        partial_aggs={"p_sum": F.sum("value"), "p_cnt": F.count(F.lit(1))},
+        combine_aggs={"p_sum": F.sum("p_sum"), "p_cnt": F.sum("p_cnt")},
+        merge_aggs={"sum_value": F.round(F.sum("p_sum"), 4), "cnt": F.sum("p_cnt")},
+    )
+    return levels[24 * HOUR]
 
 
 def q_session_windows(spark, sf_dir):
@@ -474,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_nic_median": q_win_nic_median,
         "pane_farm_sliding": q_pane_farm_sliding,
         "win_mapreduce_sliding": q_win_mapreduce_sliding,
+        "hypertable_rollup": q_hypertable_rollup,
         "session_windows": q_session_windows,
         "accumulator": q_accumulator,
         "micro1_stateless": q_micro1_stateless,
@@ -598,6 +612,11 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["pane_farm_sliding"] = sql["win_tb_sliding"]
     sql["win_mapreduce_sliding"] = sql["win_tb_sliding"]
+    sql["hypertable_rollup"] = """
+        SELECT event_type, cast(floor(epoch_us(ts)/86400000000.0) AS BIGINT) AS gwid,
+               round(sum(value), 4) AS sum_value, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    """
     sql["session_windows"] = f"""
         WITH gapped AS (
           SELECT user_id, epoch_us(ts) AS us,

@@ -164,3 +164,24 @@ def test_sliding_agg_auto_routes_and_matches(spark, tb_grid):
                   "mx": F.max("value"), "av": F.avg("value")},
         ).toPandas()
         assert_frames_equal(routed.toPandas(), want, ["key", "gwid"])
+
+
+def test_hierarchical_rollup(spark, tb_grid):
+    """Hypertable rollup: each level equals a direct tumbling win_seq at
+    that granularity; coarser levels computed from finer partials."""
+    from windflow_spark.operators.pane_farm import hierarchical_rollup
+
+    df = spark.createDataFrame(tb_grid)
+    levels = hierarchical_rollup(
+        df, ["key"], "ts", [10, 50, 200],
+        partial_aggs={"p_sum": F.sum("value"), "p_cnt": F.count(F.lit(1))},
+        combine_aggs={"p_sum": F.sum("p_sum"), "p_cnt": F.sum("p_cnt")},
+        merge_aggs={"sum_value": F.sum("p_sum"), "cnt": F.sum("p_cnt")},
+    )
+    for g, lvl in levels.items():
+        want = win_seq(
+            df, ["key"], "ts", WinSpec("tb", g, g),
+            aggs={"sum_value": F.sum("value"), "cnt": F.count(F.lit(1))},
+            with_win_end=False,
+        ).toPandas()
+        assert_frames_equal(lvl.toPandas(), want, ["key", "gwid"])

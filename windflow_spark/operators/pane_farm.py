@@ -134,3 +134,57 @@ def pane_farm(
     if with_win_end:
         out = out.withColumn("win_end", win_end_expr(spec, origin=origin))
     return out
+
+
+def hierarchical_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    unit_col: Column | str,
+    granularities: Sequence[int],
+    partial_aggs: dict[str, Column],
+    combine_aggs: dict[str, Column],
+    merge_aggs: dict[str, Column],
+    origin: int = 0,
+) -> dict[int, DataFrame]:
+    """Hypertable-style continuous-aggregate rollup: tumbling aggregates
+    at multiple granularities where each COARSER level is computed from
+    the next FINER level's partials, never from raw rows — the
+    pane-reuse idea applied hierarchically (a 1-day rollup reads 24
+    hourly partials, not 86 M raw events). ``granularities`` must be
+    ascending and each a multiple of the previous.
+
+    - ``partial_aggs``: raw columns → partial columns (finest level);
+    - ``combine_aggs``: partial columns → SAME partial column names
+      (how partials roll up a level, e.g. ``{"p_sum": F.sum("p_sum")}``);
+    - ``merge_aggs``: partial columns → final output columns.
+
+    Returns {granularity: DataFrame(keys…, gwid, final aggs)}. The raw
+    scan happens exactly once; each level up aggregates the previous
+    level's (already tiny) partials — same semigroup constraint as
+    pane_farm.
+    """
+    gs = list(granularities)
+    for a, b in zip(gs, gs[1:]):
+        if b % a != 0:
+            raise ValueError(f"granularity {b} not a multiple of {a}")
+    t = (F.expr(unit_col) if isinstance(unit_col, str) else unit_col).cast("long") - F.lit(origin)
+    prev = (
+        df.withColumn("_g", F.floor(t / F.lit(gs[0])))
+        .groupBy(*keys, "_g")
+        .agg(*[c.alias(n) for n, c in partial_aggs.items()])
+    )
+    prev_g = gs[0]
+    merged: dict[int, DataFrame] = {}
+    for g in gs:
+        if g != prev_g:
+            prev = (
+                prev.withColumn("_g", F.floor(F.col("_g") / F.lit(g // prev_g)))
+                .groupBy(*keys, "_g")
+                .agg(*[c.alias(n) for n, c in combine_aggs.items()])
+            )
+            prev_g = g
+        merged[g] = (
+            prev.groupBy(*keys, F.col("_g").alias("gwid"))
+            .agg(*[c.alias(n) for n, c in merge_aggs.items()])
+        )
+    return merged
