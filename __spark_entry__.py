@@ -175,8 +175,11 @@ def q_hypertable_rollup(spark, sf_dir):
 
 def q_session_windows(spark, sf_dir):
     ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
+    # tiebreak=event_id: tied timestamps otherwise make the lag/running-sum
+    # session assignment engine-dependent (the round-1 driver hash mismatch).
     return session_windows(
-        ev, ["user_id"], "us", gap=HOUR // 2, aggs={"cnt": F.count(F.lit(1))}
+        ev, ["user_id"], "us", gap=HOUR // 2, aggs={"cnt": F.count(F.lit(1))},
+        tiebreak=["event_id"],
     )
 
 
@@ -619,13 +622,14 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["session_windows"] = f"""
         WITH gapped AS (
-          SELECT user_id, epoch_us(ts) AS us,
-                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {hour // 2}
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {hour // 2}
                       THEN 1 ELSE 0 END AS new_s
-          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         ), sess AS (
           SELECT user_id, us,
-                 sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
                                   ROWS UNBOUNDED PRECEDING) AS session_id
           FROM gapped)
         SELECT user_id, session_id, min(us) AS session_start, max(us) AS session_end,

@@ -24,6 +24,7 @@ def session_windows(
     gap: int,
     aggs: dict[str, Column],
     session_col: str = "session_id",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Gap-split session aggregation.
 
@@ -31,12 +32,22 @@ def session_windows(
     Output: one row per (key, session) with ``session_id`` (0-based per
     key), ``session_start``, ``session_end`` (inclusive, last event
     time) and the requested aggregates.
+
+    A new session starts when the gap to the previous event is ``>= gap``
+    — the same merge rule as Spark's native ``F.session_window`` (events
+    merge only while the gap is strictly below the duration), so batch
+    and streaming agree at the boundary.
+
+    ``tiebreak``: extra columns appended to the per-key ordering. Tied
+    event times make lag/running-sum assignment engine-dependent; pass a
+    unique column (e.g. an event id) whenever ties are possible so the
+    split is deterministic across engines and partitionings.
     """
     t = (F.expr(unit_col) if isinstance(unit_col, str) else unit_col).cast("long")
-    w = Window.partitionBy(*keys).orderBy(t)
+    w = Window.partitionBy(*keys).orderBy(t, *[F.col(c) for c in tiebreak])
     gapped = df.withColumn(
         "_new_session",
-        F.when(t - F.lag(t).over(w) > F.lit(gap), F.lit(1)).otherwise(F.lit(0)),
+        F.when(t - F.lag(t).over(w) >= F.lit(gap), F.lit(1)).otherwise(F.lit(0)),
     ).withColumn(
         session_col,
         F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
