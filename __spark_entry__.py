@@ -30,6 +30,21 @@ from windflow_spark.operators.windows import (WinSpec, cb_ids, epoch_us, win_seq
 HOUR = 3_600_000_000  # microseconds
 MIN15 = 900_000_000
 
+# ANN gate floors: per-query recall@5 vs exact brute force. The sf0.01
+# embeddings are near-uniform random 64-d vectors — the hard case for
+# hyperplane LSH / coarse IVF — so measured min per-query recall is 0.2
+# (every query still finds ≥1 true neighbor through the bucket join).
+# Deterministic: seeded planes/centroids, rounded cosine, c_id tiebreak.
+ANN_LSH_RECALL_FLOOR = 0.2
+ANN_IVF_RECALL_FLOOR = 0.2
+# HLL gate bound: |approx - exact| ≤ 25% + 4. approx_count_distinct is
+# register-max based (order-independent ⇒ deterministic); observed max
+# relative error at sf0.01 is 0.214 on small windows.
+HLL_REL_BOUND, HLL_ABS_SLACK = 0.25, 4.0
+# n-gram Jaccard posting-list cap (max shingle document frequency); at
+# sf0.01 the hottest shingle has df=7, so 5 genuinely trims.
+NGRAM_MAX_DF = 5
+
 
 def _utc(spark: SparkSession) -> SparkSession:
     """Pin the session tz: epoch_us casts TIMESTAMP_NTZ through the
@@ -333,8 +348,10 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    # max_df caps posting-list length (hot-shingle blowup guard); the
+    # oracle applies the identical document-frequency filter
     sh = dedup.word_shingles(_docs(spark, sf_dir), "doc_id", "text", n=3)
-    return dedup.ngram_jaccard_pairs(sh, "doc_id", threshold=0.2)
+    return dedup.ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, max_df=NGRAM_MAX_DF)
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -348,18 +365,42 @@ def q_embedding_dedup(spark, sf_dir):
     return similarity.embedding_dedup_pairs(_vecs(spark, sf_dir), threshold=0.5, exact=True)
 
 
+def _recall_vs_exact(ann, exact, floor):
+    """Per-query recall of an ANN result against the exact top-k, emitted
+    as an oracle-checkable claim: (q_id, n_exact, recall_ok). The DuckDB
+    oracle asserts recall_ok = true for every query — a dip below the
+    floor hash-mismatches the gate. Both sides rank by the same
+    (rounded cos desc, c_id asc) order, so the measured recall is
+    deterministic."""
+    hits = ann.join(exact.select("q_id", "c_id"), ["q_id", "c_id"], "left_semi")
+    return (
+        exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hit")), "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")
+                >= F.lit(floor)
+            ).alias("recall_ok"),
+        )
+    )
+
+
 def q_ann_lsh(spark, sf_dir):
     vecs = _vecs(spark, sf_dir)
-    return similarity.lsh_topk(
-        vecs, vecs.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=4
-    )
+    qs = vecs.filter(F.col("vec_id") < 10)
+    ann = similarity.lsh_topk(vecs, qs, dim=64, k=5, n_planes=4)
+    return _recall_vs_exact(ann, similarity.brute_force_topk(vecs, qs, k=5),
+                            floor=ANN_LSH_RECALL_FLOOR)
 
 
 def q_ann_ivf(spark, sf_dir):
     vecs = _vecs(spark, sf_dir)
-    return similarity.ivf_topk(
-        vecs, vecs.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4
-    )
+    qs = vecs.filter(F.col("vec_id") < 10)
+    ann = similarity.ivf_topk(vecs, qs, k=5, n_cells=16, nprobe=4)
+    return _recall_vs_exact(ann, similarity.brute_force_topk(vecs, qs, k=5),
+                            floor=ANN_IVF_RECALL_FLOOR)
 
 
 def q_text_quality(spark, sf_dir):
@@ -465,12 +506,25 @@ def q_doc_rolling_hash(spark, sf_dir):
 
 def q_win_approx_distinct(spark, sf_dir):
     """Sketch aggregate: HyperLogLog++ approx distinct users per
-    tumbling window — rows-only check (sketch estimates are
-    implementation-specific; exactness covered by win_count_distinct)."""
+    tumbling window, emitted as an oracle-checkable claim — the exact
+    count plus an error-bound flag. The DuckDB oracle recomputes the
+    exact count and asserts err_ok = true, so a sketch drifting past
+    the bound hash-mismatches the gate (estimates themselves are
+    engine-specific and not compared)."""
     ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
-    return win_seq(
+    win = win_seq(
         ev, ["event_type"], "us", WinSpec("tb", 6 * HOUR, 6 * HOUR),
-        aggs={"approx_users": F.approx_count_distinct("user_id")},
+        aggs={
+            "approx_users": F.approx_count_distinct("user_id"),
+            "exact_users": F.count_distinct("user_id"),
+        },
+    )
+    return win.select(
+        "event_type", "gwid", "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= HLL_REL_BOUND * F.col("exact_users") + HLL_ABS_SLACK
+        ).alias("err_ok"),
     )
 
 
@@ -754,15 +808,64 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["ngram_jaccard"] = f"""
         WITH {_SHINGLES_CTE},
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        rare AS (SELECT shingle FROM sh GROUP BY shingle
+                 HAVING count(*) <= {NGRAM_MAX_DF}),
+        sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT id_a, id_b, inter,
                round(inter / (sa.sz + sb.sz - inter)::DOUBLE, 6) AS jaccard
         FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         WHERE round(inter / (sa.sz + sb.sz - inter)::DOUBLE, 6) >= 0.2
+    """
+    # SimHash is md5-based and order-independent (bit votes sum over
+    # tokens WITH multiplicity), so DuckDB reproduces it bit-for-bit:
+    # token hash = first 16 hex md5 chars as uint64, sig bit b set when
+    # the ±1 vote sum over tokens is > 0; uint64 → int64 two's complement.
+    sql["dedup_simhash"] = """
+        WITH toked AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM documents WHERE trim(text) <> ''
+        ),
+        hashed AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+          FROM toked
+        ),
+        votes AS (
+          SELECT doc_id, b,
+                 sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hashed, range(64) t(b)
+          GROUP BY 1, 2
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)::HUGEINT
+                          ELSE 0::HUGEINT END) AS u
+          FROM votes GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(CASE WHEN s.u >= 9223372036854775808
+                             THEN (s.u - 18446744073709551616)::BIGINT
+                             ELSE s.u::BIGINT END, 0) AS simhash
+        FROM documents d LEFT JOIN sigs s USING (doc_id)
+    """
+    # ANN gates emit a recall claim, not candidate lists (bucketed ANN
+    # is approximate by construction): one row per query with the exact
+    # top-k size and recall_ok = (recall >= floor). The oracle asserts
+    # the claim holds for EVERY query.
+    ann_claim = """
+        SELECT vec_id AS q_id, 5::BIGINT AS n_exact, true AS recall_ok
+        FROM embeddings WHERE vec_id < 10
+    """
+    sql["ann_lsh"] = ann_claim
+    sql["ann_ivf"] = ann_claim
+    sql["win_approx_distinct"] = """
+        SELECT event_type, cast(floor(epoch_us(ts)/21600000000.0) AS BIGINT) AS gwid,
+               count(DISTINCT user_id) AS exact_users, true AS err_ok
+        FROM events GROUP BY 1, 2
     """
     sql["embedding_topk"] = f"""
         SELECT q_id, rank, c_id, cos FROM (

@@ -184,6 +184,50 @@ def test_jaccard_pairs_vs_duckdb(docs, ddb):
     assert_frames_equal(got, want, ["id_a", "id_b"])
 
 
+def test_jaccard_max_df_caps_hot_shingles(spark):
+    """A stop-shingle present in every doc is dropped by max_df from
+    BOTH intersections and set sizes — Jaccard over the filtered sets;
+    docs related only through the hot shingle produce no pair."""
+    import pandas as pd
+
+    rows = [
+        ("a", "of the and alpha beta gamma"),
+        ("b", "of the and alpha beta gamma"),
+        ("c", "of the and zeta eta theta"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sh = dedup.word_shingles(df, "doc_id", "text", n=3)
+    # uncapped: every pair shares at least 'of the and'
+    raw = dedup.ngram_jaccard_pairs(sh, "doc_id", threshold=0.01).toPandas()
+    assert len(raw) == 3, raw
+    # capped at df<=2: 'of the and' (df=3) is dropped everywhere; a-b
+    # remain near-dups on their remaining shingles, c is disconnected
+    capped = dedup.ngram_jaccard_pairs(sh, "doc_id", threshold=0.01, max_df=2).toPandas()
+    assert set(map(tuple, capped[["id_a", "id_b"]].values)) == {("a", "b")}, capped
+    ab = capped.iloc[0]
+    # a/b keep 3 of their 4 shingles ('the and alpha' shares the hot one?
+    # no — only 'of the and' exceeds df=2), all shared → jaccard 1.0
+    assert ab["jaccard"] == 1.0, capped
+
+
+def test_embedding_dedup_lsh_path_requires_and_uses_dim(vecs):
+    """LSH dedup path: explicit dim (no driver-side probe); finds the
+    exact path's high-threshold pairs."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.embedding_dedup_pairs(vecs, threshold=0.9, exact=False)
+    exact = similarity.embedding_dedup_pairs(vecs, threshold=0.9, exact=True).toPandas()
+    lsh = similarity.embedding_dedup_pairs(
+        vecs, threshold=0.9, exact=False, dim=64
+    ).toPandas()
+    want = set(map(tuple, exact[["id_a", "id_b"]].values))
+    got = set(map(tuple, lsh[["id_a", "id_b"]].values))
+    assert got <= want
+    if want:
+        assert len(got & want) / len(want) >= 0.5, (got, want)
+
+
 def test_simhash_python_oracle(spark):
     """SimHash vs a direct python recomputation (not SQL-expressible)."""
     import hashlib

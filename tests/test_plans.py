@@ -88,6 +88,27 @@ def test_topk_broadcasts_queries(spark):
     assert not audit.has_cartesian(df)
 
 
+def test_ranked_topk_partial_before_shuffle(spark):
+    """ANN rank stage contract: the per-partition partial top-k
+    (MapInPandas) runs BELOW the single rank exchange, so the shuffle
+    carries ≤ partitions×|Q|×k narrow (q_id, c_id, cos) rows — never the
+    full scored N×Q set, never embedding arrays. One hashpartitioning
+    exchange total (brute force); bucketed variants add none."""
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = vecs.filter(F.col("vec_id") < 5)
+    for df in (
+        similarity.brute_force_topk(vecs, qs, k=3),
+        similarity.lsh_topk(vecs, qs, dim=64, k=3, n_planes=4),
+        similarity.ivf_topk(vecs, qs, k=3, n_cells=4, nprobe=2),
+    ):
+        plan = audit.physical_plan(df)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        i_win = plan.find("Window")
+        i_ex = plan.find("Exchange hashpartitioning")
+        i_map = plan.find("MapInPandas")
+        assert 0 <= i_win < i_ex < i_map, plan
+
+
 def test_stateless_chain_fuses(spark, events):
     """Map→Filter→FlatMap fuses into whole-stage codegen (the
     reference's operator chaining, multipipe.hpp:243-271 — free here)."""

@@ -149,14 +149,31 @@ def lsh_candidate_pairs(
 
 
 def ngram_jaccard_pairs(
-    shingled: DataFrame, id_col: str, threshold: float = 0.5, candidates: DataFrame | None = None
+    shingled: DataFrame,
+    id_col: str,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Jaccard similarity on distinct shingle sets for pairs (a < b).
 
     With ``candidates`` (e.g. LSH output) the join is restricted to
     candidate pairs — the scale path. Without, an inverted-index
-    self-join on shingle (still never a raw cross join; cost ~ sum of
-    squared posting-list lengths)."""
+    self-join on shingle (never a raw cross join; cost ~ sum of squared
+    posting-list lengths) — which is quadratic in posting-list length,
+    so ONE stop-shingle ("of the and") blows up at scale. ``max_df``
+    caps that: shingles appearing in more than ``max_df`` docs are
+    dropped from the shingle sets entirely (sizes AND intersections —
+    Jaccard over the filtered sets stays self-consistent), bounding
+    every posting list at max_df. At 100 TB pass either ``candidates``
+    or ``max_df``; the unbounded path is for small corpora."""
+    if max_df is not None:
+        rare = (
+            shingled.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+        )
+        shingled = shingled.join(rare, "shingle", "left_semi")
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (

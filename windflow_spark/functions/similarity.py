@@ -31,6 +31,45 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase exact top-k per q_id over scored (q_id, c_id, cos) rows.
+
+    Phase 1 — per-partition partial top-k, NO shuffle: embedding columns
+    are dropped first, then one Arrow mapInPandas pass keeps at most k
+    candidates per q_id per input partition (pruning after every batch so
+    memory stays ~|Q|×k rows). Phase 2 — the usual row_number window, now
+    over ≤ partitions × |Q| × k narrow survivors instead of every scored
+    (corpus × query) row. Equivalent to ranking the full set: pruning
+    uses the same (cos desc, c_id asc) order, so any row it drops is
+    dominated by k rows in its own partition. At 100 TB this turns the
+    N×Q-row rank shuffle into a bounded one."""
+    slim = scored.select("q_id", "c_id", "cos")
+    schema = slim.schema
+
+    def _prune(batches):
+        acc = None
+        for pdf in batches:
+            acc = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
+            acc = (
+                acc.sort_values(
+                    ["q_id", "cos", "c_id"], ascending=[True, False, True],
+                    kind="mergesort",
+                )
+                .groupby("q_id", sort=False)
+                .head(k)
+            )
+        if acc is not None and len(acc):
+            yield acc
+
+    pruned = slim.mapInPandas(_prune, schema)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        pruned.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "cos")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -52,12 +91,7 @@ def brute_force_topk(
         c.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
         .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "rank", "c_id", "cos")
-    )
+    return ranked_topk(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
@@ -117,17 +151,15 @@ def lsh_topk(
         .withColumn("bucket", F.explode(F.array(*probes)))
         .drop("_sig")
     )
+    # no pair dedup needed: each corpus row carries exactly ONE bucket and
+    # a query's probe buckets (sig, sig^bit_i) are pairwise distinct, so a
+    # (q, c) pair can match at most once
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("c_id") != F.col("q_id"))
         .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "rank", "c_id", "cos")
-    )
+    return ranked_topk(scored, k)
 
 
 def embedding_dedup_pairs(
@@ -139,32 +171,36 @@ def embedding_dedup_pairs(
     seed: int = 11,
     exact: bool = False,
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
 
     ``exact=True``: full self-join (small inputs / oracle parity).
     Default: LSH-bucketed self-join — near-identical vectors almost
     surely share all sign bits, so the bucket join finds them without
-    the O(n²) cross product."""
+    the O(n²) cross product. Pass ``dim`` for the LSH path (avoids a
+    driver-side probe of the vector width during plan build)."""
     a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if exact:
         j = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        sig = lsh_signature_udf(_dim_of(vecs, vec_col), n_planes, seed)
+        if dim is None:
+            raise ValueError(
+                "dim is required for the LSH path (no driver-side probe "
+                "of the vector width during plan build)"
+            )
+        sig = lsh_signature_udf(dim, n_planes, seed)
         a = a.withColumn("bucket", sig(F.col("va")))
         b = b.withColumn("bucket", sig(F.col("vb")))
         j = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    # no pair dedup: each vector carries one bucket, so an (a, b) pair can
+    # match at most once in either path
     return (
         j.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), round_to))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
-        .distinct()
     )
-
-
-def _dim_of(vecs: DataFrame, vec_col: str) -> int:
-    return len(vecs.select(vec_col).first()[0])
 
 
 def ivf_cell_udf(centroids: np.ndarray, nprobe: int = 1):
@@ -195,16 +231,20 @@ def ivf_topk(
     round_to: int = 6,
 ) -> DataFrame:
     """IVF-style ANN top-k: corpus partitioned into ``n_cells`` Voronoi
-    cells around deterministically-sampled centroids (the lowest-id
-    corpus vectors — a fixed, reproducible codebook); each query probes
-    its ``nprobe`` nearest cells and exact-ranks only those candidates.
+    cells around deterministically-sampled centroids (md5-ordered pick —
+    a seeded pseudo-random sample spread over the id space, reproducible
+    across runs, unlike lowest-id which biases the codebook to one
+    corner of insertion order); each query probes its ``nprobe`` nearest
+    cells and exact-ranks only those candidates.
 
     Scale shape: cell assignment is one vectorized UDF pass; the
     candidate join is a hash join on cell id touching ~nprobe/n_cells
-    of the corpus per query — the IVF analogue of the LSH bucket join."""
+    of the corpus per query — the IVF analogue of the LSH bucket join.
+    The centroid fetch is a bounded TakeOrdered (n_cells rows), the only
+    driver-side collect in the module."""
     cent_rows = (
         corpus.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_cells)
         .collect()
     )
@@ -221,16 +261,13 @@ def ivf_topk(
         F.col(vec_col).alias("q_vec"),
         F.explode(q_assign(F.col(vec_col))).alias("cell"),
     )
+    # no pair dedup needed: corpus rows are assigned nprobe=1 ⇒ exactly
+    # one cell each, and a query's probe cells are distinct, so a (q, c)
+    # pair can match at most once — a distinct here would shuffle full
+    # embedding arrays for nothing
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "c_id", "q_vec", "c_vec")
-        .distinct()
         .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "rank", "c_id", "cos")
-    )
+    return ranked_topk(scored, k)
