@@ -242,9 +242,12 @@ def q_asof_join(spark, sf_dir):
     right = ev.filter(F.col("event_type") == "view").select(
         "user_id", F.col("us").alias("r_us"), F.col("event_id").alias("r_event_id")
     )
+    # tiebreak=r_event_id: duplicate (user_id, r_us) view rows otherwise
+    # make the picked payload engine-dependent
     return asof_join(
         left, right, ["user_id"], "us", "r_us", bound=HOUR,
         left_id=["user_id", "event_id"], right_payload=["r_event_id"],
+        tiebreak=["r_event_id"],
     )
 
 
@@ -485,6 +488,67 @@ def q_streaming_cb(spark, sf_dir):
     )
 
 
+def _staged_events_stream(spark, sf_dir):
+    """Stage the events table into a directory and open it as a file
+    stream (file-stream sources require a directory)."""
+    import os
+    import shutil
+    import tempfile
+
+    from windflow_spark.streaming import engine as se
+
+    path = tempfile.mkdtemp(prefix="wf_gate_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(path, "events.parquet"))
+    schema = _utc(spark).read.parquet(path).schema
+    return se.stream_source(spark, path, schema)
+
+
+def q_streaming_hopping(spark, sf_dir):
+    """Streaming TB hopping (win < slide — inexpressible by F.window;
+    routed through the tumbling-of-slide + gap-filter rewrite): drained
+    stream == the batch hopping oracle."""
+    import uuid
+
+    from windflow_spark.streaming import engine as se
+
+    src = _staged_events_stream(spark, sf_dir)
+    out = se.stream_win_tb(
+        src, ["event_type"], "ts", WinSpec("tb", 900, 3600),
+        aggs={"cnt": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)},
+        watermark="1 hour", unit="second",
+    )
+    name = f"gate_stream_hop_{uuid.uuid4().hex[:8]}"
+    return se.run_to_memory(out, name, spark, output_mode="complete")
+
+
+def q_streaming_nic_median(spark, sf_dir):
+    """Streaming NIC whole-window UDF (win_seq.hpp:355-392 analogue —
+    windowed collect_list archive + pandas median on window close):
+    drained stream == the batch NIC median oracle."""
+    import uuid
+
+    from windflow_spark.streaming import engine as se
+
+    def nic(w: pd.DataFrame) -> dict:
+        return {
+            "median_value": round(float(w["value"].median()), 4),
+            "cnt": len(w),
+        }
+
+    src = _staged_events_stream(spark, sf_dir)
+    out = se.stream_win_tb_nic(
+        src, ["event_type"], "ts", WinSpec("tb", 3600, 3600), nic,
+        "median_value double, cnt long", payload_cols=["value"],
+        watermark="1 hour", unit="second",
+    )
+    name = f"gate_stream_nic_{uuid.uuid4().hex[:8]}"
+    res = se.run_to_memory(out, name, spark, output_mode="complete")
+    return res.select(
+        "event_type", "gwid", "median_value", "cnt",
+        (F.col("gwid") * HOUR + HOUR - 1).cast("long").alias("win_end"),
+    )
+
+
 def q_per_turn_text(spark, sf_dir):
     """input_hint invariant surfaced in the gate: per-row text equality
     after a deterministic Map rewrite, under stable ordering — the
@@ -576,6 +640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_turn_text": q_per_turn_text,
         "streaming_tumbling": q_streaming_tumbling,
         "streaming_cb": q_streaming_cb,
+        "streaming_hopping": q_streaming_hopping,
+        "streaming_nic_median": q_streaming_nic_median,
     }
 
 
@@ -713,12 +779,16 @@ def oracle_sql() -> dict[str, str]:
         WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
                    WHERE event_type = 'click'),
              r AS (SELECT user_id, event_id AS r_event_id, epoch_us(ts) AS r_us
-                   FROM events WHERE event_type = 'view')
-        SELECT l.user_id, l.event_id, max(r.r_us) AS matched_ts,
-               arg_max(r.r_event_id, r.r_us) AS matched_r_event_id
-        FROM l JOIN r ON l.user_id = r.user_id
-                     AND r.r_us <= l.us AND r.r_us >= l.us - {hour}
-        GROUP BY 1, 2
+                   FROM events WHERE event_type = 'view'),
+        j AS (
+          SELECT l.user_id, l.event_id, r.r_us, r.r_event_id,
+                 row_number() OVER (PARTITION BY l.user_id, l.event_id
+                                    ORDER BY r.r_us DESC, r.r_event_id DESC) AS rn
+          FROM l JOIN r ON l.user_id = r.user_id
+                       AND r.r_us <= l.us AND r.r_us >= l.us - {hour})
+        SELECT user_id, event_id, r_us AS matched_ts,
+               r_event_id AS matched_r_event_id
+        FROM j WHERE rn = 1
     """
     sql["ysb_pipeline"] = f"""
         SELECT c_mktsegment,
@@ -951,6 +1021,19 @@ def oracle_sql() -> dict[str, str]:
           FROM ids i JOIN mx ON i.user_key = mx.user_key
           GROUP BY i.user_key, wf_id // 10)
         SELECT user_key, gwid, sum_value, cnt, win_end FROM agg WHERE win_end <= m
+    """
+    sql["streaming_hopping"] = f"""
+        SELECT event_type, cast(floor(epoch_us(ts)/{hour}.0) AS BIGINT) AS gwid,
+               count(*) AS cnt, round(sum(value), 4) AS sum_value
+        FROM events
+        WHERE epoch_us(ts) % {hour} < {min15}
+        GROUP BY 1, 2
+    """
+    sql["streaming_nic_median"] = f"""
+        SELECT event_type, cast(floor(epoch_us(ts)/{hour}.0) AS BIGINT) AS gwid,
+               round(median(value), 4) AS median_value, count(*) AS cnt,
+               cast(floor(epoch_us(ts)/{hour}.0) AS BIGINT)*{hour} + {hour} - 1 AS win_end
+        FROM events GROUP BY 1, 2
     """
     sql["per_turn_text"] = """
         SELECT doc_id, upper(text) AS text_upper, length(text) AS text_len

@@ -370,6 +370,163 @@ def test_stream_cb_out_of_order_drop_parity(spark, tdir):
         assert r["sum_value"] == float(sum(expect))
 
 
+def test_stream_hopping_equals_batch(spark, tx_path):
+    """Streaming TB hopping (win < slide): the tumbling-of-slide +
+    gap-filter route must equal the batch assign_wids hopping plan —
+    F.window itself cannot express win < slide."""
+    schema = _schema(spark, tx_path)
+    src = se.stream_source(spark, tx_path, schema, max_files_per_trigger=1)
+    stream = se.stream_win_tb(
+        src, ["conv_id"], "ts", WinSpec("tb", 15, 60),
+        aggs={"cnt": F.count(F.lit(1))}, watermark="10 seconds", unit="second",
+    )
+    got = se.run_to_memory(stream, "t_hop", spark, output_mode="complete").toPandas()
+    want = win_seq(
+        spark.read.parquet(tx_path).withColumn("us", epoch_us("ts")),
+        ["conv_id"], "us", WinSpec("tb", 15_000_000, 60_000_000),
+        aggs={"cnt": F.count(F.lit(1))}, with_win_end=False,
+    ).toPandas()
+    assert len(got) > 0
+    assert_frames_equal(got, want, ["conv_id", "gwid"])
+
+
+def test_stream_nic_skyline_equals_batch(spark, tdir):
+    """Streaming NIC whole-window UDF (win_seq.hpp:355-392 analogue):
+    the spatial skyline (src/spatial_test/test_spatial_wf.cpp:91-107)
+    over sliding windows on a drained stream == the python windowed
+    oracle (same fixture as the batch NIC skyline test)."""
+    import numpy as np
+    import oracle
+
+    rng = np.random.default_rng(5)
+    n, base = 150, pd.Timestamp("2026-01-01")
+    frames = []
+    for k in range(2):
+        secs = np.cumsum(rng.integers(1, 5, n)).astype(np.int64)
+        frames.append(pd.DataFrame({
+            "key": np.int64(k),
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in secs],
+            **{f"x{d}": rng.integers(0, 50, n).astype(np.int64) for d in range(3)},
+        }))
+    pdf = pd.concat(frames, ignore_index=True)
+    src_dir = str(tdir / "nic_src")
+    os.makedirs(src_dir, exist_ok=True)
+    for k in range(2):  # one file per key: per-key order preserved
+        datagen.write_parquet_us(pdf[pdf.key == k], f"{src_dir}/k{k}.parquet")
+
+    def _skyline_pts(rows: pd.DataFrame) -> list:
+        pts = rows[[f"x{d}" for d in range(3)]].to_numpy()
+        keep = []
+        for i in range(len(pts)):
+            if not any(
+                (pts[j] <= pts[i]).all() and (pts[j] < pts[i]).any()
+                for j in range(len(pts)) if j != i
+            ):
+                keep.append(tuple(int(v) for v in pts[i]))
+        return sorted(set(keep))
+
+    def nic(w: pd.DataFrame) -> dict:
+        return {"pts": [list(p) for p in _skyline_pts(w)]}
+
+    schema = spark.read.parquet(src_dir).schema
+    src = se.stream_source(spark, src_dir, schema, max_files_per_trigger=1)
+    stream = se.stream_win_tb_nic(
+        src, ["key"], "ts", WinSpec("tb", 40, 10), nic, "pts array<array<long>>",
+        payload_cols=["x0", "x1", "x2"], watermark="10 seconds", unit="second",
+    )
+    got = se.run_to_memory(stream, "t_nic", spark, output_mode="complete").toPandas()
+
+    us = pdf.assign(us=pdf["ts"].astype("int64") // 1000)
+    ow = oracle.windowed_agg(
+        us, ["key"], "us", 40_000_000, 10_000_000,
+        lambda w: {"pts": _skyline_pts(w)},
+    )
+    want = {
+        (r["key"], r["gwid"]): r["pts"] for _, r in ow.iterrows()
+    }
+    assert len(got) == len(want) > 0
+    for _, r in got.iterrows():
+        g = [tuple(p) for p in r["pts"]]
+        assert g == want[(r["key"], r["gwid"])], (r["key"], r["gwid"])
+
+
+def test_stream_cb_multi_agg_equals_batch(spark, tx_path):
+    """Generalized CB fold registry: sum/count/min/max/mean in one
+    stateful pass == batch win_seq INC aggregates on full windows."""
+    schema = _schema(spark, tx_path)
+    src = se.stream_source(spark, tx_path, schema, max_files_per_trigger=1)
+    spec = WinSpec("cb", 10, 5)
+    stream = se.stream_cb_windows(
+        src.withColumn("text_len", F.length("text").cast("double")),
+        "conv_id", "turn_idx", None, spec,
+        aggs={
+            "s": ("sum", "text_len"), "c": ("count", None),
+            "mn": ("min", "text_len"), "mx": ("max", "text_len"),
+            "avg": ("mean", "text_len"),
+        },
+    )
+    got = se.run_to_memory(stream, "t_cb_multi", spark, output_mode="append").toPandas()
+    batch = spark.read.parquet(tx_path).withColumn(
+        "text_len", F.length("text").cast("double")
+    )
+    want_all = win_seq(
+        batch, ["conv_id"], "turn_idx", spec,
+        aggs={
+            "s": F.sum("text_len"), "c": F.count(F.lit(1)),
+            "mn": F.min("text_len"), "mx": F.max("text_len"),
+            "avg": F.avg("text_len"),
+        },
+    ).toPandas()
+    maxid = batch.groupBy("conv_id").agg(F.max("turn_idx").alias("m")).toPandas()
+    want = want_all.merge(maxid, on="conv_id")
+    want = want[want["win_end"] <= want["m"]].drop(columns=["m"])
+    got = got[["conv_id", "gwid", "s", "c", "mn", "mx", "avg", "win_end"]]
+    want = want[["conv_id", "gwid", "s", "c", "mn", "mx", "avg", "win_end"]]
+    assert len(got) > 0
+    assert_frames_equal(got, want, ["conv_id", "gwid"])
+
+
+def test_stream_cb_buffer_reorders_within_bound(spark, tdir):
+    """on_late='buffer': cross-batch disorder within the lateness bound
+    reproduces the fully-ordered result (NOTES backlog #1) — windows in
+    the ripe region fire with complete content; the trailing span stays
+    buffered until later data arrives."""
+    import numpy as np
+
+    src_dir = str(tdir / "buf_src")
+    os.makedirs(src_dir, exist_ok=True)
+    rng = np.random.default_rng(3)
+    ids = np.arange(60, dtype=np.int64)
+    # shuffle within a ±6 disorder bound, split across two files so the
+    # disorder crosses batch boundaries
+    perm = np.argsort(ids + rng.uniform(-6, 6, len(ids)))
+    shuffled = ids[perm]
+    mk = lambda a: pd.DataFrame(
+        {"k": "c0", "i": a, "v": a.astype(np.float64)}
+    )
+    datagen.write_parquet_us(mk(shuffled[:30]), f"{src_dir}/a.parquet")
+    datagen.write_parquet_us(mk(shuffled[30:]), f"{src_dir}/b.parquet")
+
+    schema = spark.read.parquet(src_dir).schema
+    spec = WinSpec("cb", 10, 10)
+    src = se.stream_source(spark, src_dir, schema, max_files_per_trigger=1)
+    stream = se.stream_cb_windows(
+        src, "k", "i", "v", spec, on_late="buffer", lateness=12
+    )
+    got = (
+        se.run_to_memory(stream, "t_cb_buf", spark, output_mode="append")
+        .toPandas().sort_values("gwid")
+    )
+    # ripe region: ids <= 59-12=47 → windows 0..3 fire (win_end 9..39);
+    # window 4 (win_end 49) fires only if 49 <= 47 — it stays buffered
+    assert got["gwid"].tolist() == [0, 1, 2, 3]
+    for _, r in got.iterrows():
+        w = int(r["gwid"])
+        lo, hi = w * 10, w * 10 + 9
+        assert r["cnt"] == 10
+        assert r["sum_value"] == float(sum(range(lo, hi + 1)))
+
+
 def test_stream_cb_tws_matches_classic(spark, tx_path):
     """transformWithStateInPandas implementation == classic
     applyInPandasWithState implementation, batch-restricted oracle."""

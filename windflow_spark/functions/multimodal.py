@@ -1,13 +1,12 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBS behind ``_HAVE_CODECS`` — either a clearly-marked
-NotImplementedError or a deterministic fake (seeded from the payload
-digest) — but the Spark-side plumbing (schema, partition sizing, UDF
-signature, batch shape) is real and tested. On a cluster with codecs
-installed, only ``_decode_image_real`` / ``_extract_audio_real`` need
-filling in.
+The container has no image/audio codecs, so real decode kernels are
+absent: features fall back to a deterministic fake (seeded from the
+payload digest, ``decoded=False``), while byte-level metadata is always
+real. The Spark-side plumbing (schema, partition sizing, UDF signature,
+batch shape) is real and tested. On a cluster with codecs installed,
+register per-kind decoders in ``_REAL_DECODERS`` — nothing else changes.
 
 Scale posture: binary payloads never pass through Python row-at-a-time;
 mapInPandas streams Arrow batches, and ``maxRecordsPerBatch`` bounds
@@ -73,22 +72,35 @@ def _fake_feature(payload: bytes, n: int = 8) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal(n).astype(np.float32)
 
 
+# Real per-kind decoders: None until implemented on a codec-equipped
+# cluster (signature: bytes -> np.ndarray feature vector). Kept separate
+# from _HAVE_CODECS so merely having PIL installed never breaks the
+# metadata/fake-feature path — only kinds with an actual implementation
+# route through a real decoder.
+_REAL_DECODERS: dict[str, object] = {}
+
+
 def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
     """Decode + featurize media via mapInPandas (Arrow batches).
 
-    Real decode is stubbed: without codecs, features come from
-    ``_fake_feature`` and ``decoded=False``; byte-level metadata
-    (n_bytes, digest) is real either way."""
+    Byte-level metadata (n_bytes, digest) is computed unconditionally —
+    it needs no codecs. Features route through a real per-kind decoder
+    from ``_REAL_DECODERS`` when one is implemented (``decoded=True``);
+    otherwise the deterministic ``_fake_feature`` stand-in
+    (``decoded=False``). No path raises in the batch loop."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            if _HAVE_CODECS:
-                raise NotImplementedError(
-                    "real media decode requires codec libs; install PIL/librosa "
-                    "and implement _decode_image_real/_extract_audio_real"
-                )
-            feats = [_fake_feature(p, feat_dim).tolist() for p in payloads]
+            feats, decoded = [], []
+            for kind, p in zip(pdf["kind"], payloads):
+                real = _REAL_DECODERS.get(kind)
+                if real is not None:
+                    feats.append(np.asarray(real(p), dtype=np.float32).tolist())
+                    decoded.append(True)
+                else:
+                    feats.append(_fake_feature(p, feat_dim).tolist())
+                    decoded.append(False)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -96,7 +108,7 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
                     "n_bytes": payloads.map(len).astype("int64"),
                     "digest": payloads.map(lambda p: hashlib.md5(p).hexdigest()),
                     "feat": feats,
-                    "decoded": False,
+                    "decoded": decoded,
                 }
             )
 

@@ -40,15 +40,21 @@ def asof_join(
     left_id: Sequence[str],
     right_payload: Sequence[str],
     how: str = "inner",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with the same
     key and ``left_ts - bound <= right_ts <= left_ts``.
 
     ``left_id`` — columns uniquely identifying a left row (grouping key
     for picking the single best match). ``right_payload`` — right
-    columns to carry; each is emitted via ``max_by(col, right_ts)``
-    (ties broken by the max right_ts row), so no per-group sort.
-    ``how='left'`` keeps unmatched left rows with null payload.
+    columns to carry; each is emitted via ``max_by`` over the right
+    timestamp, so no per-group sort. ``how='left'`` keeps unmatched
+    left rows with null payload.
+
+    ``tiebreak`` — right columns appended to the max_by ordering
+    (struct(right_ts, *tiebreak)). Without it, duplicate (key, right_ts)
+    rows make the picked payload engine-/partitioning-dependent; pass a
+    unique right column whenever ties are possible.
 
     Oracle equivalent: ``pandas.merge_asof`` per key (FIXTURES.md F7).
     Streaming equivalent: watermarked interval join in
@@ -61,7 +67,8 @@ def asof_join(
         cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
     j = left.alias("l").join(right.alias("r"), on=cond, how="left" if how == "left" else "inner")
     group_cols = [F.col(f"l.{c}").alias(c) for c in left_id]
+    ord_ = F.struct(rts, *[F.col(f"r.{c}") for c in tiebreak]) if tiebreak else rts
     aggs = [F.max(rts).alias("matched_ts")] + [
-        F.max_by(F.col(f"r.{c}"), rts).alias(f"matched_{c}") for c in right_payload
+        F.max_by(F.col(f"r.{c}"), ord_).alias(f"matched_{c}") for c in right_payload
     ]
     return j.groupBy(*group_cols).agg(*aggs)

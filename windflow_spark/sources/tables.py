@@ -22,13 +22,13 @@ Iceberg source config (documented for cluster deployment):
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 from pyspark.sql import DataFrame, SparkSession
 
 
-@lru_cache(maxsize=4)
-def iceberg_available(app: str = "probe") -> bool:
+def iceberg_available() -> bool:
+    # deliberately uncached: a False probed before any active session (or
+    # before Iceberg conf is applied) must not stick once an
+    # Iceberg-capable session starts; the Class.forName probe is cheap
     try:
         from pyspark.sql import SparkSession as S
 

@@ -68,13 +68,31 @@ def stream_win_tb(
     unit: str = "second",
 ) -> DataFrame:
     """Watermarked TB windowed aggregate; gwid recovered from the window
-    start for row parity with the batch plan."""
+    start for row parity with the batch plan.
+
+    Hopping windows (win < slide) can't be expressed by ``F.window``
+    (it requires slide ≤ win), so they route through the
+    tumbling-of-slide trick: hopping windows are disjoint, every event
+    belongs to at most one (gwid = t//slide, kept iff t%slide < win),
+    so a pre-filter plus a ``slide``-long tumbling window gives the
+    identical grouping — same plan shape, one stateful aggregate
+    (the derived-gwid analogue of the batch assign_wids hopping path,
+    includes/win_seq.hpp:326-338)."""
     micros_per = {"microsecond": 1, "millisecond": 1_000, "second": 1_000_000}[unit]
+    src = _as_ts(df, ts_col)
+    if spec.win < spec.slide:  # hopping: gap rows discarded up front
+        src = src.filter(
+            F.unix_micros(F.col(ts_col)) % F.lit(spec.slide * micros_per)
+            < F.lit(spec.win * micros_per)
+        )
+        win_dur = spec.slide
+    else:
+        win_dur = spec.win
     out = (
-        _as_ts(df, ts_col).withWatermark(ts_col, watermark)
+        src.withWatermark(ts_col, watermark)
         .groupBy(
             *[F.col(k) for k in keys],
-            F.window(F.col(ts_col), f"{spec.win} {unit}", f"{spec.slide} {unit}").alias("w"),
+            F.window(F.col(ts_col), f"{win_dur} {unit}", f"{spec.slide} {unit}").alias("w"),
         )
         .agg(*[c.alias(n) for n, c in aggs.items()])
     )
@@ -82,6 +100,60 @@ def stream_win_tb(
         GWID,
         (F.unix_micros(F.col("w.start")) / F.lit(spec.slide * micros_per)).cast("long"),
     ).drop("w")
+
+
+def stream_win_tb_nic(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    spec: WinSpec,
+    nic_fn,
+    out_fields: str,
+    payload_cols: Sequence[str],
+    watermark: str = "1 hour",
+    unit: str = "second",
+) -> DataFrame:
+    """Streaming NIC (whole-window UDF) TB windows — the streaming
+    analogue of the reference's fire-and-compute over the window
+    archive (includes/win_seq.hpp:355-392).
+
+    Spark-first shape: the archive IS a watermarked windowed
+    ``collect_list(struct(...))`` aggregate — the state store plays the
+    StreamArchive (includes/stream_archive.hpp), append mode fires when
+    the watermark passes the window end (EOS-equivalent close), and the
+    whole-window pandas UDF runs over each fired window's full content.
+    No custom stateful processor needed; RocksDB-backed like every
+    other windowed aggregate.
+
+    ``nic_fn(pdf) -> dict`` — receives the window rows as a pandas
+    DataFrame (columns ``payload_cols`` + ``_ts_us``, sorted by
+    ``_ts_us``; tie order among equal timestamps is not defined, so the
+    fn must be tie-insensitive — same contract as the batch NIC path).
+    Returns one dict per window matching ``out_fields`` (a DDL string,
+    e.g. ``"median_value double, cnt long"``); emit multi-row results
+    (e.g. a skyline) as an array field and explode downstream."""
+    names = [f.split()[0] for f in out_fields.split(",")]
+
+    @F.pandas_udf(out_fields)
+    def _nic(arch: pd.Series) -> pd.DataFrame:
+        recs = []
+        for rows in arch:
+            pdf = pd.DataFrame(list(rows)).sort_values("_ts_us", kind="stable")
+            recs.append(nic_fn(pdf))
+        return pd.DataFrame(recs, columns=names)
+
+    archive = F.collect_list(
+        F.struct(
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us"),
+            *[F.col(c) for c in payload_cols],
+        )
+    )
+    agg = stream_win_tb(
+        df, keys, ts_col, spec, {"_arch": archive}, watermark=watermark, unit=unit
+    )
+    return agg.withColumn("_res", _nic(F.col("_arch"))).select(
+        *keys, GWID, "_res.*"
+    )
 
 
 def stream_session(
@@ -106,79 +178,200 @@ def stream_session(
     ).drop("w")
 
 
+# Decomposable (INC) fold ops for streaming CB windows: per-window
+# partial slots + numpy batch kernel + cross-batch merge + finalize.
+# The reference accepts an arbitrary INC lambda (includes/win_seq.hpp:
+# 63-65); a distributed engine needs the fold DECLARED decomposable, so
+# the op registry is the contract (sum/count/min/max/mean cover the
+# reference's test programs; extend by adding a row here).
+_CB_OPS = {
+    # op: (n_slots, batch_kernel(grouped) -> list of per-slot Series,
+    #      merge(old_slots, new_slots), finalize(slots), out_sql_type)
+    "sum": (1, lambda g: [g.sum()], lambda o, n: [o[0] + n[0]],
+            lambda s: s[0], "double"),
+    "count": (1, lambda g: [g.count().astype("float64")],
+              lambda o, n: [o[0] + n[0]], lambda s: int(s[0]), "long"),
+    "min": (1, lambda g: [g.min()],
+            lambda o, n: [min(o[0], n[0])], lambda s: s[0], "double"),
+    "max": (1, lambda g: [g.max()],
+            lambda o, n: [max(o[0], n[0])], lambda s: s[0], "double"),
+    "mean": (2, lambda g: [g.sum(), g.count().astype("float64")],
+             lambda o, n: [o[0] + n[0], o[1] + n[1]],
+             lambda s: s[0] / s[1], "double"),
+}
+
+
 def stream_cb_windows(
     df: DataFrame,
     key: str,
     id_col: str,
-    value_col: str,
+    value_col: str | None,
     spec: WinSpec,
-    on_late: str = "assume_ordered",
+    on_late: str = "drop",
+    aggs: dict[str, tuple[str, str | None]] | None = None,
+    lateness: int = 0,
 ) -> DataFrame:
     """Count-based windows in streaming: keyed stateful processor via
-    applyInPandasWithState.
+    applyInPandasWithState, numpy-vectorized per Arrow batch.
 
-    State per key: running partial (sum, cnt) per open window id plus
-    the last processed id. A tuple with per-key monotone id ``i``
-    belongs to wids [max(0, floor((i-win)/slide)+1), floor(i/slide)];
-    window w fires (is emitted) when its last tuple
-    (id == w*slide+win-1) arrives — Triggerer_CB
-    (includes/window.hpp:49-67). Partial windows remain in state;
-    batch-mode covers the EOS partial flush.
+    A tuple with per-key monotone id ``i`` belongs to wids
+    [max(0, floor((i-win)/slide)+1), floor(i/slide)]; window w fires
+    (is emitted) when its last tuple (id == w*slide+win-1) arrives —
+    Triggerer_CB (includes/window.hpp:49-67). Partial windows remain in
+    state; batch-mode covers the EOS partial flush.
+
+    ``aggs`` — {out_col: (op, in_col)} with op from sum/count/min/max/
+    mean (the decomposable-fold registry ``_CB_OPS``; the streaming
+    analogue of the reference's arbitrary INC lambda, win_seq.hpp:63-65).
+    Defaults to the classic {"sum_value": ("sum", value_col),
+    "cnt": ("count", None)} shape.
 
     ``on_late`` — cross-batch out-of-order policy:
-    - "assume_ordered": ids arrive in order per key across batches
-      (transcripts / single-writer file sources); cheapest.
-    - "drop": REFERENCE PARITY — any id ≤ the last processed id for the
-      key is discarded, exactly the reference's out-of-order drop rule
-      (includes/win_seq.hpp:289-305, wf_nodes.hpp:104-121).
+    - "drop" (default): REFERENCE PARITY — any id ≤ the last processed
+      id for the key is discarded, exactly the reference's out-of-order
+      drop rule (includes/win_seq.hpp:289-305, wf_nodes.hpp:104-121).
+    - "buffer": hold rows in state and only fold ids ≤ (max id seen −
+      ``lateness``), re-sorting the buffered span — reproduces the
+      fully-ordered result for any disorder within the bound (ids
+      beyond it still drop). Windows in the trailing ``lateness`` span
+      stay buffered until later data arrives (the CB analogue of a
+      watermark delay).
+    - "assume_ordered": trust per-key arrival order across batches
+      (single-writer sources); cheapest, silently wrong under disorder.
     Within a batch, rows are always processed in id order.
     """
-    if on_late not in ("assume_ordered", "drop"):
+    if on_late not in ("assume_ordered", "drop", "buffer"):
         raise ValueError(f"unknown on_late policy {on_late!r}")
+    if aggs is None:
+        if value_col is None:
+            raise ValueError("value_col or aggs required")
+        aggs = {"sum_value": ("sum", value_col), "cnt": ("count", None)}
+    for name, (op, _c) in aggs.items():
+        if op not in _CB_OPS:
+            raise ValueError(f"agg {name!r}: unknown op {op!r} (have {sorted(_CB_OPS)})")
+    import numpy as np
+
     win, slide = spec.win, spec.slide
-    out_schema = f"{key} string, gwid long, sum_value double, cnt long, win_end long"
-    state_schema = "wids array<long>, sums array<double>, cnts array<long>, last_id long"
+    # input columns feeding any fold (count-with-None folds over ids)
+    in_cols = sorted({c for _, c in aggs.values() if c is not None})
+    out_cols = ", ".join(
+        f"{n} {_CB_OPS[op][4]}" for n, (op, _c) in aggs.items()
+    )
+    out_schema = f"{key} string, gwid long, {out_cols}, win_end long"
+    state_schema = (
+        "wids array<long>, parts array<array<double>>, last_id long, "
+        "buf_ids array<long>, buf_vals array<array<double>>"
+    )
+    n_slots = sum(_CB_OPS[op][0] for op, _ in aggs.values())
+
+    def _fold(ids: "np.ndarray", vals: dict, open_w: dict) -> list:
+        """Fold sorted unique-per-policy ids into open windows; return
+        fired (gwid, finalized...) rows. Fully vectorized: the wid
+        explosion is arange arithmetic, partials one pandas groupby."""
+        last = ids // slide
+        first = np.maximum(0, (ids - win) // slide + 1)
+        counts = (last - first + 1).astype(np.int64)
+        total = int(counts.sum())
+        row_idx = np.repeat(np.arange(len(ids)), counts)
+        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        wid = first[row_idx] + offs
+        frame = {"_w": wid}
+        for c in in_cols:
+            frame[c] = vals[c][row_idx]
+        if not in_cols:  # count-only folds still need a column to group
+            frame["_one"] = np.ones(total)
+        g = pd.DataFrame(frame).groupby("_w", sort=True)
+        slot_series = []
+        for op, c in aggs.values():
+            col = c if c is not None else (in_cols[0] if in_cols else "_one")
+            slot_series += _CB_OPS[op][1](g[col])
+        wkeys = slot_series[0].index.to_numpy()
+        mat = np.column_stack([s.to_numpy() for s in slot_series])
+        for w, new in zip(wkeys, mat):
+            old = open_w.get(int(w))
+            if old is None:
+                open_w[int(w)] = list(new)
+            else:
+                merged, pos = [], 0
+                for op, _c in aggs.values():
+                    ns = _CB_OPS[op][0]
+                    merged += _CB_OPS[op][2](old[pos:pos + ns], list(new[pos:pos + ns]))
+                    pos += ns
+                open_w[int(w)] = merged
+        # Triggerer_CB: fire windows whose last tuple is in this span
+        fired = []
+        f_mask = (ids - win + 1 >= 0) & ((ids - win + 1) % slide == 0)
+        for w in ((ids[f_mask] - win + 1) // slide).tolist():
+            part = open_w.pop(w, None)
+            if part is None:
+                continue
+            outs, pos = [], 0
+            for op, _c in aggs.values():
+                ns = _CB_OPS[op][0]
+                outs.append(_CB_OPS[op][3](part[pos:pos + ns]))
+                pos += ns
+            fired.append((w, *outs, w * slide + win - 1))
+        return fired
 
     def proc(
         k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            wids, sums, cnts, last_id = state.get
-            open_w = {w: [s, c] for w, s, c in zip(wids, sums, cnts)}
+            wids, parts, last_id, buf_ids, buf_vals = state.get
+            open_w = {w: list(p) for w, p in zip(wids, parts)}
+            buf_i = np.asarray(buf_ids, dtype=np.int64)
+            buf_v = {c: np.asarray(v, dtype=np.float64)
+                     for c, v in zip(in_cols, buf_vals)}
         else:
             open_w, last_id = {}, -1
+            buf_i = np.empty(0, dtype=np.int64)
+            buf_v = {c: np.empty(0) for c in in_cols}
         fired = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(id_col)
-            for i, v in zip(pdf[id_col], pdf[value_col]):
-                i = int(i)
-                if on_late == "drop":
-                    if i <= last_id:
-                        continue  # reference drop rule
-                    last_id = i
-                last = i // slide
-                first = max(0, (i - win) // slide + 1)
-                for w in range(first, last + 1):
-                    part = open_w.setdefault(w, [0.0, 0])
-                    part[0] += float(v)
-                    part[1] += 1
-                    if i == w * slide + win - 1:  # Triggerer_CB fire
-                        fired.append(
-                            (k[0], w, part[0], part[1], w * slide + win - 1)
-                        )
-                        del open_w[w]
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vals = {c: pdf[c].to_numpy(dtype=np.float64) for c in in_cols}
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            vals = {c: v[order] for c, v in vals.items()}
+            if on_late == "buffer":
+                buf_i = np.concatenate([buf_i, ids])
+                buf_v = {c: np.concatenate([buf_v[c], vals[c]]) for c in in_cols}
+                thresh = int(buf_i.max()) - lateness
+                order = np.argsort(buf_i, kind="stable")
+                buf_i = buf_i[order]
+                buf_v = {c: v[order] for c, v in buf_v.items()}
+                ripe = buf_i <= thresh
+                ids = buf_i[ripe]
+                vals = {c: v[ripe] for c, v in buf_v.items()}
+                buf_i = buf_i[~ripe]
+                buf_v = {c: v[~ripe] for c, v in buf_v.items()}
+            if on_late in ("drop", "buffer"):
+                keep = ids > last_id
+                ids, vals = ids[keep], {c: v[keep] for c, v in vals.items()}
+                if len(ids):
+                    # drop within-span duplicates (first occurrence wins)
+                    uniq = np.concatenate([[True], ids[1:] != ids[:-1]])
+                    ids = ids[uniq]
+                    vals = {c: v[uniq] for c, v in vals.items()}
+                    last_id = int(ids[-1])
+            if len(ids):
+                fired += _fold(ids, vals, open_w)
         items = sorted(open_w.items())
         state.update(
             (
                 [w for w, _ in items],
-                [p[0] for _, p in items],
-                [p[1] for _, p in items],
+                [list(map(float, p)) for _, p in items],
                 last_id,
+                buf_i.tolist(),
+                [buf_v[c].tolist() for c in in_cols],
             )
         )
         if fired:
             yield pd.DataFrame(
-                fired, columns=[key, "gwid", "sum_value", "cnt", "win_end"]
+                [(k[0], *row) for row in sorted(fired)],
+                columns=[key, "gwid", *aggs.keys(), "win_end"],
             )
 
     return (
@@ -206,18 +399,27 @@ def stream_accumulate(
     def proc(
         k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         s, c = state.get if state.exists else (0.0, 0)
         for pdf in pdfs:
-            pdf = pdf.sort_values(id_col)
-            rows = []
-            for i, v in zip(pdf[id_col], pdf[value_col]):
-                s += float(v)
-                c += 1
-                rows.append((k[0], int(i), s, c))
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=[key, id_col, "running_sum", "running_cnt"]
-                )
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vals = pdf[value_col].to_numpy(dtype=np.float64)
+            order = np.argsort(ids, kind="stable")
+            ids, vals = ids[order], vals[order]
+            run_s = s + np.cumsum(vals)
+            run_c = c + np.arange(1, len(ids) + 1, dtype=np.int64)
+            s, c = float(run_s[-1]), int(run_c[-1])
+            yield pd.DataFrame(
+                {
+                    key: k[0],
+                    id_col: ids,
+                    "running_sum": run_s,
+                    "running_cnt": run_c,
+                }
+            )
         state.update((s, c))
 
     return df.groupBy(key).applyInPandasWithState(
@@ -455,13 +657,20 @@ def run_available_now_ordered(
     batch's results are written sorted by ``order_by`` (cross-batch
     total order additionally needs the deterministic (key, gwid) sort
     the readers apply — same caveat the reference documents for
-    multi-emitter runs)."""
+    multi-emitter runs).
+
+    foreachBatch alone is at-least-once (a crash between write and
+    checkpoint commit replays the batch), so the write is made
+    idempotent: each batch lands in its own ``batch_id=<n>`` partition
+    directory with mode=overwrite — a replay rewrites the same
+    directory instead of appending duplicates. Readers get a
+    ``batch_id`` partition column for free (per-batch lineage)."""
 
     def write_sorted(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.orderBy(*order_by)
-            .write.mode("append")
-            .parquet(sink_path)
+            .write.mode("overwrite")
+            .parquet(f"{sink_path}/batch_id={batch_id}")
         )
 
     q = (
