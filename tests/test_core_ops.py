@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 import oracle
 from tests.conftest import assert_frames_equal
 from windflow_spark.api import Pipe
+from windflow_spark.operators import core
 from windflow_spark.operators.core import accumulate, filter_, flat_map, map_
 
 
@@ -93,3 +94,54 @@ def test_union_pipes(spark, cb_grid):
     merged = even.union_(odd).collect_pandas()
     assert len(merged) == len(cb_grid)
     assert merged["value"].sum() == cb_grid["value"].sum()
+
+
+def test_custom_key_routing(spark, cb_grid):
+    """Pluggable routing (builders.hpp:190 routing_func_t analogue):
+    rows with equal routing values co-locate in one partition, and a
+    salted routing splits a key across partitions while the downstream
+    keyed aggregate stays correct (Spark re-exchanges on the key)."""
+    df = spark.createDataFrame(cb_grid)
+    routed = core.key_by(df, "key", routing=F.pmod(F.col("id"), F.lit(3)),
+                         num_partitions=3)
+    per_part = (
+        routed.withColumn("p", F.spark_partition_id())
+        .groupBy((F.col("id") % 3).alias("r"))
+        .agg(F.countDistinct("p").alias("nparts"))
+        .toPandas()
+    )
+    assert (per_part["nparts"] == 1).all(), per_part
+    # salted routing + keyed agg: result equals the unsalted plan
+    got = (
+        Pipe.source(df).key_by("key", routing=F.concat_ws("-", "key", (F.col("id") % 4).cast("string")), num_partitions=4)
+        .df.groupBy("key").agg(F.sum("value").alias("s")).toPandas()
+        .sort_values("key").reset_index(drop=True)
+    )
+    want = df.groupBy("key").agg(F.sum("value").alias("s")).toPandas().sort_values("key").reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_pipe_pane_farm_and_win_mapreduce_methods(spark, cb_grid):
+    """Fluent Pipe.pane_farm / Pipe.win_mapreduce / Pipe.sliding_agg ==
+    win_seq direct (regression: the operators package __init__ shadows
+    the pane_farm/win_mapreduce module names with their functions, which
+    silently broke these methods' module references)."""
+    from windflow_spark.operators.windows import WinSpec, win_seq
+
+    df = spark.createDataFrame(cb_grid)
+    spec = WinSpec("tb", 16, 4)
+    want = (
+        win_seq(df, ["key"], "id", spec, aggs={"s": F.sum("value")})
+        .toPandas()
+    )
+    base = Pipe.source(df).key_by("key")
+    for p in (
+        base.pane_farm("id", spec, partial_aggs={"p": F.sum("value")},
+                       merge_aggs={"s": F.sum("p")}),
+        base.win_mapreduce("id", spec, partial_aggs={"p": F.sum("value")},
+                           merge_aggs={"s": F.sum("p")}, degree=4),
+        base.sliding_agg("id", spec, aggs={"s": ("sum", "value")}),
+    ):
+        got = p.df.toPandas()
+        assert_frames_equal(got[["key", "gwid", "s"]],
+                            want[["key", "gwid", "s"]], ["key", "gwid"])

@@ -166,6 +166,28 @@ def test_sliding_agg_auto_routes_and_matches(spark, tb_grid):
         assert_frames_equal(routed.toPandas(), want, ["key", "gwid"])
 
 
+def test_sliding_agg_size_aware_routing(spark, tb_grid):
+    """The router also trips on estimated input size: ratio ≥ 2 over an
+    input past pane_bytes_threshold routes to pane even below the ratio
+    threshold (at 100 TB the explode factor always loses to the pane
+    pre-shrink); results identical to the direct plan."""
+    from windflow_spark.operators.pane_farm import sliding_agg
+    from windflow_spark.plans import audit
+
+    df = spark.createDataFrame(tb_grid)
+    aggs = {"sum_value": ("sum", "value"), "cnt": ("count", "value")}
+    spec = WinSpec("tb", 16, 4)  # ratio 4 — below the ratio threshold
+    small = sliding_agg(df, ["key"], "ts", spec, aggs)
+    assert audit.count_exchanges(small) == 1  # stats small → direct
+    big = sliding_agg(df, ["key"], "ts", spec, aggs, pane_bytes_threshold=1)
+    assert audit.count_exchanges(big) == 2  # size trip → pane
+    want = win_seq(
+        df, ["key"], "ts", spec,
+        aggs={"sum_value": F.sum("value"), "cnt": F.count(F.lit(1))},
+    ).toPandas()
+    assert_frames_equal(big.toPandas(), want, ["key", "gwid"])
+
+
 def test_hierarchical_rollup(spark, tb_grid):
     """Hypertable rollup: each level equals a direct tumbling win_seq at
     that granularity; coarser levels computed from finer partials."""

@@ -16,7 +16,16 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from windflow_spark.operators import core, joins, pane_farm as pf, sessions, win_mapreduce as wmr, windows
+from windflow_spark.operators import core, joins, sessions, windows
+# NB: the operators package __init__ re-exports the pane_farm /
+# win_mapreduce FUNCTIONS under the same names as their modules, so any
+# module-level import of those names binds the function — import the
+# callables explicitly
+from windflow_spark.operators.pane_farm import (
+    pane_farm as _pane_farm,
+    sliding_agg as _sliding_agg,
+)
+from windflow_spark.operators.win_mapreduce import win_mapreduce as _win_mapreduce
 
 
 class Pipe:
@@ -44,11 +53,23 @@ class Pipe:
     def flat_map(self, emit: Column | str, alias: str, keep: Sequence[str] | None = None) -> "Pipe":
         return Pipe(core.flat_map(self.df, emit, alias, keep), self.keys)
 
-    def key_by(self, *keys: str, num_partitions: int | None = None) -> "Pipe":
+    def key_by(
+        self,
+        *keys: str,
+        num_partitions: int | None = None,
+        routing: Column | str | None = None,
+    ) -> "Pipe":
         """Sets the pipeline key (Key_Farm routing; kf_nodes.hpp:67-78).
         The physical repartition is deferred to the next stateful op
-        (Spark inserts the exchange); pass num_partitions to force one."""
-        df = core.key_by(self.df, *keys, num_partitions=num_partitions) if num_partitions else self.df
+        (Spark inserts the exchange); pass num_partitions to force one,
+        or ``routing`` for a custom routing expression (the pluggable
+        routing_func_t of builders.hpp:190 — see core.key_by)."""
+        if num_partitions or routing is not None:
+            df = core.key_by(
+                self.df, *keys, num_partitions=num_partitions, routing=routing
+            )
+        else:
+            df = self.df
         return Pipe(df, keys)
 
     def accumulate(self, order_by: Sequence[Column | str], **aggs: Column) -> "Pipe":
@@ -69,15 +90,25 @@ class Pipe:
             self.keys,
         )
 
+    def sliding_agg(self, unit_col: Column | str, spec: windows.WinSpec,
+                    aggs: dict[str, tuple[str, str]], origin: int = 0) -> "Pipe":
+        """Cost-routed sliding aggregation (direct vs pane decomposition
+        by overlap ratio AND estimated input size — see
+        pane_farm.sliding_agg). ``aggs``: name → (op, col)."""
+        return Pipe(
+            _sliding_agg(self.df, self.keys, unit_col, spec, aggs, origin=origin),
+            self.keys,
+        )
+
     def pane_farm(self, unit_col: Column | str, spec: windows.WinSpec,
                   partial_aggs: dict[str, Column], merge_aggs: dict[str, Column], origin: int = 0) -> "Pipe":
-        return Pipe(pf.pane_farm(self.df, self.keys, unit_col, spec, partial_aggs, merge_aggs, origin=origin), self.keys)
+        return Pipe(_pane_farm(self.df, self.keys, unit_col, spec, partial_aggs, merge_aggs, origin=origin), self.keys)
 
     def win_mapreduce(self, unit_col: Column | str, spec: windows.WinSpec,
                       partial_aggs: dict[str, Column], merge_aggs: dict[str, Column],
                       degree: int = 8, origin: int = 0) -> "Pipe":
         return Pipe(
-            wmr.win_mapreduce(self.df, self.keys, unit_col, spec, partial_aggs, merge_aggs, degree=degree, origin=origin),
+            _win_mapreduce(self.df, self.keys, unit_col, spec, partial_aggs, merge_aggs, degree=degree, origin=origin),
             self.keys,
         )
 

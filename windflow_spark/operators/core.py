@@ -70,15 +70,33 @@ def flat_map(df: DataFrame, emit: ColumnLike, alias: str, keep: Sequence[str] | 
     return df.select(*keep_cols, F.explode(emit_col).alias(alias))
 
 
-def key_by(df: DataFrame, *keys: str, num_partitions: int | None = None) -> DataFrame:
+def key_by(
+    df: DataFrame,
+    *keys: str,
+    num_partitions: int | None = None,
+    routing: ColumnLike | None = None,
+) -> DataFrame:
     """keyBy routing: hash-partition the stream by key columns.
 
     Mirrors includes/standard.hpp:62-84 (``routing(k,n)=hash(k)%n``).
     In Spark an explicit repartition is only needed to force key
     co-location for stateful pandas kernels; groupBy inserts its own
     exchange otherwise. Exposed for plan control (Key_Farm analogue).
+
+    ``routing`` — optional custom routing expression (the reference's
+    pluggable ``routing_func_t``, includes/builders.hpp:190): the
+    partitioner hashes this expression instead of the raw keys, e.g. a
+    salt (``F.concat("k", F.pmod(F.col("id"), F.lit(4)))``) to split a
+    hot key, or a coarser bucket to co-locate related keys. All rows
+    with equal routing values land in one partition; downstream
+    key-level groupBys still insert their own exchange when the routing
+    is coarser/finer than the key.
     """
-    cols = [F.col(k) for k in keys]
+    if routing is not None:
+        r = F.expr(routing) if isinstance(routing, str) else routing
+        cols = [r]
+    else:
+        cols = [F.col(k) for k in keys]
     return df.repartition(num_partitions, *cols) if num_partitions else df.repartition(*cols)
 
 

@@ -35,6 +35,19 @@ from windflow_spark.operators.windows import GWID, WinSpec, assign_wids, win_end
 _DECOMPOSABLE = {"sum", "count", "min", "max", "avg"}
 
 
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate (propagated from file
+    sizes — computed at plan time, triggers NO action). Used by the
+    cost router; returns 0 when stats are unavailable so the router
+    falls back to the ratio-only rule."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 0
+
+
 def sliding_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -43,15 +56,23 @@ def sliding_agg(
     aggs: dict[str, tuple[str, str]],
     origin: int = 0,
     pane_threshold: int = 8,
+    pane_bytes_threshold: int = 1 << 30,
 ) -> DataFrame:
     """Cost-routed sliding aggregation: picks the physical strategy.
 
     ``aggs``: name → (op, col) with op ∈ {sum,count,min,max,avg}.
-    For overlap ratio win/slide ≥ ``pane_threshold`` the direct plan
-    explodes every row ⌈win/slide⌉× before aggregating — measured 26×
-    slower than pane decomposition at ratio 96 — so this routes to
-    pane_farm with auto-generated partial/merge pairs; below the
-    threshold the direct single-shuffle plan wins (no second exchange).
+    The direct plan explodes every row ⌈win/slide⌉× before aggregating;
+    pane decomposition pre-shrinks rows to (key, pane) partials and
+    explodes only those. Two independent routes to pane:
+
+    - overlap ratio win/slide ≥ ``pane_threshold`` — the explode factor
+      alone dominates (measured 26× at ratio 96);
+    - estimated input ≥ ``pane_bytes_threshold`` (Catalyst plan stats —
+      no action triggered) AND ratio ≥ 2 — at large inputs even a small
+      explode factor loses to pane's map-side pre-shrink (measured at
+      102 M rows, ratio 4: direct 5.8 s vs pane 3.0 s at local[32]),
+      while at small inputs pane's second exchange costs more than it
+      saves (10.8 M rows, ratio 4: direct 1.60 s vs pane 1.71 s).
     """
     from windflow_spark.operators import windows as W
 
@@ -70,7 +91,8 @@ def sliding_agg(
     for name, (op, _) in aggs.items():
         if op not in _DECOMPOSABLE:
             raise ValueError(f"{name}: op {op!r} not decomposable")
-    if ratio < pane_threshold or spec.win <= spec.slide:
+    big_input = ratio >= 2 and _estimated_bytes(df) >= pane_bytes_threshold
+    if spec.win <= spec.slide or (ratio < pane_threshold and not big_input):
         return W.win_seq(df, keys, unit_col, spec, aggs=direct_cols(), origin=origin)
     partial: dict[str, Column] = {}
     merge: dict[str, Column] = {}
