@@ -185,15 +185,18 @@ def _membw_worker(args) -> float:
 
 def control_efficiencies() -> dict:
     """Hardware-ceiling controls, embedded in the artifact so the
-    scaling number carries its own context: the identical fixed-total-
-    work 8→32 protocol on (a) a pure-CPU kernel — the SMT ceiling (32
-    vCPUs on this box are hyperthread pairs, so even embarrassingly-
-    parallel CPU work tops out near 0.8) — and (b) a DRAM-bandwidth
-    kernel (streaming sums over arrays ≫ LLC) — the ceiling every
-    shared-memory shuffle/agg inherits on a single socket. Aggregate
-    rate = total work / max(per-worker seconds); eff = rate32/(4·rate8).
-    A multi-executor cluster multiplies cores AND memory controllers
-    instead of sharing them (BENCH/BASELINE.md)."""
+    scaling number carries its own context, re-measured in the same
+    window as the scaling samples: the identical fixed-per-worker-work
+    8→32 protocol on (a) a pure-CPU kernel (32 real cores per lscpu —
+    reads ~1.0 when the host is quiet, < 1 under neighbor contention /
+    steal, which bounds ANY job's efficiency in that window) and (b) a
+    DRAM-bandwidth kernel (streaming sums over arrays ≫ LLC) — the
+    ceiling every shared-memory shuffle/agg inherits on a single
+    socket; observed 0.13–0.99 across windows as host bandwidth
+    contention varies. Aggregate rate_n = n / median(per-worker
+    seconds); eff = rate32/(4·rate8). A multi-executor cluster
+    multiplies cores AND memory controllers instead of sharing them
+    (BENCH/BASELINE.md)."""
     import multiprocessing as mp
 
     out = {}
@@ -396,8 +399,8 @@ def main() -> None:
     scale_amp = AMP * 4
     scaling["scaling_rows_in"] = None
     best: dict[int, float] = {}
-    for cores, reps in ((32, 5), (8, 2), (32, 5), (8, 2), (32, 5), (8, 2)):
-        if time.time() - t_start > 900 and 8 in best and 32 in best:
+    for cores, reps in ((32, 3), (8, 2), (32, 3), (8, 2), (32, 3), (8, 2)):
+        if time.time() - t_start > 1500 and 8 in best and 32 in best:
             break
         out = subprocess.run(
             [sys.executable, __file__, "--single", str(cores), str(reps)],
@@ -435,7 +438,7 @@ def main() -> None:
             if not artifact["streaming"] or cand["sec"] < artifact["streaming"]["sec"]:
                 artifact["streaming"] = cand
                 emit()
-        if time.time() - t_start > 1100:
+        if time.time() - t_start > 1900:
             break
     emit()
 

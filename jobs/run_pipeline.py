@@ -8,7 +8,7 @@ exactly-once parquet sink, RocksDB state store, metrics JSONL.
 Usage:
   spark-submit --py-files windflow_spark.zip jobs/run_pipeline.py \
       --input <dir> --output <dir> --checkpoint <dir> \
-      [--mode tumbling|sliding|session|cb|join] [--once] [--metrics m.jsonl]
+      [--mode tumbling|sliding|session|cb|join|hopping|nic] [--once] [--metrics m.jsonl]
 
 `--once` uses availableNow (drain backlog and exit — idempotent,
 resumable); without it the query runs continuously. Re-running with the
@@ -32,7 +32,8 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--mode", default="tumbling",
-                    choices=["tumbling", "sliding", "session", "cb", "join"])
+                    choices=["tumbling", "sliding", "session", "cb", "join",
+                             "hopping", "nic"])
     ap.add_argument("--win", type=int, default=60, help="window seconds")
     ap.add_argument("--slide", type=int, default=15, help="slide seconds")
     ap.add_argument("--gap", type=int, default=120, help="session gap seconds")
@@ -67,6 +68,23 @@ def main() -> None:
             turns, ["conv_id"], "ts", WinSpec("tb", args.win, args.slide),
             aggs={"cnt": F.count(F.lit(1)), "sum_len": F.sum("text_len")},
             watermark=args.watermark,
+        )
+    elif args.mode == "hopping":
+        # win < slide — routed through the tumbling-of-slide rewrite
+        out = se.stream_win_tb(
+            turns, ["conv_id"], "ts", WinSpec("tb", args.win, args.slide),
+            aggs={"cnt": F.count(F.lit(1)), "sum_len": F.sum("text_len")},
+            watermark=args.watermark,
+        )
+    elif args.mode == "nic":
+        # whole-window UDF over the windowed archive (streaming NIC)
+        def _median_len(w):
+            return {"median_len": float(w["text_len"].median()), "cnt": len(w)}
+
+        out = se.stream_win_tb_nic(
+            turns, ["conv_id"], "ts", WinSpec("tb", args.win, args.win),
+            _median_len, "median_len double, cnt long",
+            payload_cols=["text_len"], watermark=args.watermark,
         )
     elif args.mode == "session":
         out = se.stream_session(
