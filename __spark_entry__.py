@@ -549,6 +549,52 @@ def q_streaming_nic_median(spark, sf_dir):
     )
 
 
+def q_streaming_session(spark, sf_dir):
+    """Native session_window on the drained stream == the batch
+    gap-split oracle on (user_id, session_start, cnt) — merge rule
+    boundary-aligned (diff == gap merges in both)."""
+    import uuid
+
+    from windflow_spark.streaming import engine as se
+
+    src = _staged_events_stream(spark, sf_dir)
+    out = se.stream_session(
+        src, ["user_id"], "ts", f"{1800} seconds",
+        aggs={"cnt": F.count(F.lit(1))}, watermark="1 hour",
+    )
+    name = f"gate_stream_sess_{uuid.uuid4().hex[:8]}"
+    res = se.run_to_memory(out, name, spark, output_mode="complete")
+    return res.select("user_id", "session_start", "cnt")
+
+
+def q_streaming_accumulate(spark, sf_dir):
+    """Streaming keyed rolling reduce (Accumulator,
+    accumulator.hpp:157-192): running (sum, cnt) after EVERY tuple on
+    the drained stream == the windowed running aggregate oracle.
+    Ids renumbered upstream (TS_RENUMBERING) as in streaming_cb."""
+    import tempfile
+    import uuid
+
+    from windflow_spark.streaming import engine as se
+
+    ids = cb_ids(
+        _events(spark, sf_dir), ["user_id"], [F.col("ts"), F.col("event_id")]
+    ).select(
+        F.col("user_id").cast("string").alias("user_key"), "wf_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="wf_gate_acc_")
+    ids.coalesce(1).write.mode("overwrite").parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+    src = se.stream_source(spark, tmp, schema)
+    out = se.stream_accumulate(src, "user_key", "wf_id", "value")
+    name = f"gate_stream_acc_{uuid.uuid4().hex[:8]}"
+    res = se.run_to_memory(out, name, spark, output_mode="append")
+    return res.select(
+        "user_key", "wf_id",
+        F.round("running_sum", 4).alias("running_sum"), "running_cnt",
+    )
+
+
 def q_per_turn_text(spark, sf_dir):
     """input_hint invariant surfaced in the gate: per-row text equality
     after a deterministic Map rewrite, under stable ordering — the
@@ -642,6 +688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cb": q_streaming_cb,
         "streaming_hopping": q_streaming_hopping,
         "streaming_nic_median": q_streaming_nic_median,
+        "streaming_session": q_streaming_session,
+        "streaming_accumulate": q_streaming_accumulate,
     }
 
 
@@ -743,7 +791,7 @@ def oracle_sql() -> dict[str, str]:
     sql["session_windows"] = f"""
         WITH gapped AS (
           SELECT user_id, event_id, epoch_us(ts) AS us,
-                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {hour // 2}
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {hour // 2}
                       THEN 1 ELSE 0 END AS new_s
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
@@ -1034,6 +1082,32 @@ def oracle_sql() -> dict[str, str]:
                round(median(value), 4) AS median_value, count(*) AS cnt,
                cast(floor(epoch_us(ts)/{hour}.0) AS BIGINT)*{hour} + {hour} - 1 AS win_end
         FROM events GROUP BY 1, 2
+    """
+    sql["streaming_session"] = f"""
+        WITH gapped AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {hour // 2}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ), sess AS (
+          SELECT user_id, us,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM gapped)
+        SELECT user_id, min(us) AS session_start, count(*) AS cnt
+        FROM sess GROUP BY user_id, session_id
+    """
+    sql["streaming_accumulate"] = """
+        WITH ids AS (
+          SELECT user_id::VARCHAR AS user_key, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS wf_id
+          FROM events)
+        SELECT user_key, wf_id, round(sum(value) OVER w, 4) AS running_sum,
+               count(*) OVER w AS running_cnt
+        FROM ids
+        WINDOW w AS (PARTITION BY user_key ORDER BY wf_id
+                     ROWS UNBOUNDED PRECEDING)
     """
     sql["per_turn_text"] = """
         SELECT doc_id, upper(text) AS text_upper, length(text) AS text_len

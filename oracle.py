@@ -76,7 +76,7 @@ def session_split(
     """Session-window oracle: cumulative gap-split per key (FIXTURES.md F7)."""
     out = df.sort_values(keys + [unit], kind="stable").copy()
     def _sessionize(s: pd.Series) -> pd.Series:
-        return (s.diff() >= gap).cumsum()
+        return (s.diff() > gap).cumsum()
     out["session_id"] = out.groupby(keys, sort=False)[unit].transform(_sessionize)
     return out.reset_index(drop=True)
 

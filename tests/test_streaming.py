@@ -527,6 +527,75 @@ def test_stream_cb_buffer_reorders_within_bound(spark, tdir):
         assert r["sum_value"] == float(sum(range(lo, hi + 1)))
 
 
+def test_stream_cb_hopping_equals_batch(spark, tx_path):
+    """Streaming CB hopping (win < slide): gap ids get an empty wid
+    range (win_seq.hpp:326-338) instead of blowing up the vectorized
+    explosion; fired windows == batch full windows."""
+    schema = _schema(spark, tx_path)
+    src = se.stream_source(spark, tx_path, schema, max_files_per_trigger=1)
+    spec = WinSpec("cb", 3, 8)
+    stream = se.stream_cb_windows(
+        src.withColumn("text_len", F.length("text").cast("double")),
+        "conv_id", "turn_idx", "text_len", spec,
+    )
+    got = se.run_to_memory(stream, "t_cb_hop", spark, output_mode="append").toPandas()
+    batch = spark.read.parquet(tx_path).withColumn(
+        "text_len", F.length("text").cast("double")
+    )
+    want_all = win_seq(
+        batch, ["conv_id"], "turn_idx", spec,
+        aggs={"sum_value": F.sum("text_len"), "cnt": F.count(F.lit(1))},
+    ).toPandas()
+    maxid = batch.groupBy("conv_id").agg(F.max("turn_idx").alias("m")).toPandas()
+    want = want_all.merge(maxid, on="conv_id")
+    want = want[want["win_end"] <= want["m"]].drop(columns=["m"])
+    assert len(got) > 0
+    assert_frames_equal(got, want, ["conv_id", "gwid"])
+
+
+def test_session_gap_boundary_stream_batch_agree(spark, tdir):
+    """Events exactly gap apart MERGE in both engines (measured: native
+    session_window merges at diff == gap, so the batch gap-split starts
+    a new session only at diff > gap) — the boundary case the round-1
+    fixture never hit."""
+    from windflow_spark.operators.sessions import session_windows
+
+    src_dir = str(tdir / "gapb_src")
+    os.makedirs(src_dir, exist_ok=True)
+    base = pd.Timestamp("2026-01-01")
+    gap_s = 30
+    # 'a': events at 0, 30, 60 s (exactly gap apart → ONE session in
+    # both engines) then 91 s (31 s > gap → splits); 'b': 29 s apart
+    pdf = pd.DataFrame({
+        "conv_id": ["a"] * 4 + ["b"] * 2,
+        "turn_idx": [0, 1, 2, 3, 0, 1],
+        "ts": [base, base + pd.Timedelta(seconds=30), base + pd.Timedelta(seconds=60),
+               base + pd.Timedelta(seconds=91),
+               base, base + pd.Timedelta(seconds=29)],
+    })
+    datagen.write_parquet_us(pdf, f"{src_dir}/f.parquet")
+    schema = spark.read.parquet(src_dir).schema
+    src = se.stream_source(spark, src_dir, schema)
+    stream = se.stream_session(
+        src, ["conv_id"], "ts", f"{gap_s} seconds",
+        aggs={"cnt": F.count(F.lit(1))}, watermark="1 second",
+    )
+    got = se.run_to_memory(stream, "t_gapb", spark, output_mode="complete").toPandas()
+    batch = spark.read.parquet(src_dir).withColumn("us", epoch_us("ts"))
+    want = session_windows(
+        batch, ["conv_id"], "us", gap_s * 1_000_000,
+        aggs={"cnt": F.count(F.lit(1))}, tiebreak=["turn_idx"],
+    ).toPandas()
+    g = got[["conv_id", "session_start", "cnt"]].sort_values(
+        ["conv_id", "session_start"]).reset_index(drop=True)
+    w = want[["conv_id", "session_start", "cnt"]].sort_values(
+        ["conv_id", "session_start"]).reset_index(drop=True)
+    # 'a' merges 0/30/60 (boundary) then splits at 91 → 2 sessions;
+    # 'b' merges → 1 session. Both engines agree.
+    assert len(g) == 3 and g["cnt"].tolist() == [3, 1, 2], g
+    assert_frames_equal(g, w, ["conv_id", "session_start"])
+
+
 def test_stream_cb_tws_matches_classic(spark, tx_path):
     """transformWithStateInPandas implementation == classic
     applyInPandasWithState implementation, batch-restricted oracle."""

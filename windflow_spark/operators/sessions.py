@@ -33,10 +33,12 @@ def session_windows(
     key), ``session_start``, ``session_end`` (inclusive, last event
     time) and the requested aggregates.
 
-    A new session starts when the gap to the previous event is ``>= gap``
-    — the same merge rule as Spark's native ``F.session_window`` (events
-    merge only while the gap is strictly below the duration), so batch
-    and streaming agree at the boundary.
+    A new session starts when the gap to the previous event is
+    ``> gap`` — the same merge rule as Spark's native
+    ``F.session_window``, which merges events whose distance is ≤ the
+    gap duration (verified at the boundary: events exactly gap apart
+    merge in both engines — tests/test_streaming.py session boundary
+    test), so batch and streaming agree.
 
     ``tiebreak``: extra columns appended to the per-key ordering. Tied
     event times make lag/running-sum assignment engine-dependent; pass a
@@ -47,7 +49,7 @@ def session_windows(
     w = Window.partitionBy(*keys).orderBy(t, *[F.col(c) for c in tiebreak])
     gapped = df.withColumn(
         "_new_session",
-        F.when(t - F.lag(t).over(w) >= F.lit(gap), F.lit(1)).otherwise(F.lit(0)),
+        F.when(t - F.lag(t).over(w) > F.lit(gap), F.lit(1)).otherwise(F.lit(0)),
     ).withColumn(
         session_col,
         F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),

@@ -270,7 +270,9 @@ def stream_cb_windows(
         explosion is arange arithmetic, partials one pandas groupby."""
         last = ids // slide
         first = np.maximum(0, (ids - win) // slide + 1)
-        counts = (last - first + 1).astype(np.int64)
+        # hopping (win < slide): ids in a gap have last < first — an
+        # empty wid range (includes/win_seq.hpp:326-338), clip to 0
+        counts = np.maximum(0, last - first + 1).astype(np.int64)
         total = int(counts.sum())
         row_idx = np.repeat(np.arange(len(ids)), counts)
         offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
