@@ -136,7 +136,9 @@ def q_win_cb_sliding(spark, sf_dir):
 
 def q_win_nic_median(spark, sf_dir):
     """NIC path: whole-window pandas UDF (median — order statistic the
-    INC path can't fold)."""
+    INC path can't fold). NB: this gate deliberately exercises the NIC
+    machinery; a real median user should prefer the native
+    ``F.median``/``percentile`` aggregate (JVM-side, no Arrow hop)."""
     ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
 
     def nic(pdf: pd.DataFrame) -> pd.DataFrame:

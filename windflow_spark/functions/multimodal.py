@@ -1,10 +1,10 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The container has no image/audio codecs, so real decode kernels are
-absent: features fall back to a deterministic fake (seeded from the
-payload digest, ``decoded=False``), while byte-level metadata is always
-real. The Spark-side plumbing (schema, partition sizing, UDF signature,
+Real decode kernels are absent in this container (no codec libs):
+features fall back to a deterministic fake (seeded from the payload
+digest, ``decoded=False``), while byte-level metadata is always real.
+The Spark-side plumbing (schema, partition sizing, UDF signature,
 batch shape) is real and tested. On a cluster with codecs installed,
 register per-kind decoders in ``_REAL_DECODERS`` — nothing else changes.
 
@@ -24,13 +24,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-try:  # real codecs unavailable in this container; plumbing is real
-    import PIL.Image  # noqa: F401
-
-    _HAVE_CODECS = True
-except ImportError:
-    _HAVE_CODECS = False
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -72,11 +65,11 @@ def _fake_feature(payload: bytes, n: int = 8) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal(n).astype(np.float32)
 
 
-# Real per-kind decoders: None until implemented on a codec-equipped
-# cluster (signature: bytes -> np.ndarray feature vector). Kept separate
-# from _HAVE_CODECS so merely having PIL installed never breaks the
-# metadata/fake-feature path — only kinds with an actual implementation
-# route through a real decoder.
+# Real per-kind decoders: empty until implemented on a codec-equipped
+# cluster (signature: bytes -> np.ndarray feature vector). Deliberately
+# NOT keyed on whether PIL/librosa import — merely having a codec lib
+# installed must never change behavior; only kinds with an actual
+# registered implementation route through a real decoder.
 _REAL_DECODERS: dict[str, object] = {}
 
 
