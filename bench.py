@@ -385,8 +385,11 @@ def main() -> None:
     # so it needs the most repeats before any time cutoff. The hardware
     # ceiling controls ship inside the artifact (control_* keys).
     scaling: dict = {"samples": [], "note": (
-        "best-of-N fresh JVMs; eff = best(t32_tput)/(4*best(t8_tput)); "
-        "control_cpu = pure-CPU 8→32 ceiling (~1.0 ⇒ vCPUs real), "
+        "best-of-N fresh JVMs; eff = best(t32_tput)/(4*best(t8_tput)), "
+        "eff_median over per-sample throughputs; an eff > 1 means the "
+        "8-core side never caught a quiet window (host bandwidth "
+        "contention is invisible to steal) — read the samples. "
+        "control_cpu = pure-CPU 8→32 ceiling (~1.0 ⇒ cores real/quiet), "
         "control_membw = DRAM-bandwidth ceiling this single-socket VM "
         "imposes on shuffle/agg-heavy work; see BENCH/BASELINE.md")}
     scaling.update(control_efficiencies())
@@ -399,7 +402,7 @@ def main() -> None:
     scale_amp = AMP * 4
     scaling["scaling_rows_in"] = None
     best: dict[int, float] = {}
-    for cores, reps in ((32, 3), (8, 2), (32, 3), (8, 2), (32, 3), (8, 2)):
+    for cores, reps in ((32, 3), (8, 3), (32, 3), (8, 3), (32, 3), (8, 3)):
         if time.time() - t_start > 1500 and 8 in best and 32 in best:
             break
         out = subprocess.run(
@@ -424,6 +427,11 @@ def main() -> None:
             scaling["local8_events_per_sec"] = round(best[8])
             scaling["local32_events_per_sec"] = round(best[32])
             scaling["efficiency_8_to_32"] = round(best[32] / (4 * best[8]), 3)
+            med = {}
+            for n in (8, 32):
+                ts = sorted(x["sec"] for x in scaling["samples"] if x["cores"] == n)
+                med[n] = r["rows_in"] / ts[len(ts) // 2]
+            scaling["efficiency_median_8_to_32"] = round(med[32] / (4 * med[8]), 3)
             emit()
 
     for _ in range(2):  # streaming drain: best of 2 fresh JVMs
