@@ -359,6 +359,16 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, max_df=NGRAM_MAX_DF)
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """End-to-end dedup composite (the realistic training-data path):
+    shingle → MinHash → LSH candidates → Jaccard verify → greedy
+    lower-id-wins keep decision, one row per doc."""
+    return dedup.dedup_keep_list(
+        _docs(spark, sf_dir), "doc_id", "text",
+        threshold=0.5, minhash_k=16, bands=4, rows_per_band=4,
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     vecs = _vecs(spark, sf_dir)
     return similarity.brute_force_topk(
@@ -673,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_pipeline": q_dedup_pipeline,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "embedding_dedup": q_embedding_dedup,
@@ -925,6 +936,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+    sql["dedup_pipeline"] = f"""
+        WITH {_SHINGLES_CTE},
+        hashed AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 15))::UBIGINT::BIGINT & 2147483647 AS h
+          FROM sh),
+        sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+        banded AS ({band_rows}),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT i.id_a, i.id_b
+          FROM inter i
+          JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
+          JOIN sizes sa ON sa.doc_id = i.id_a
+          JOIN sizes sb ON sb.doc_id = i.id_b
+          WHERE round(i.inter / (sa.sz + sb.sz - i.inter)::DOUBLE, 6) >= 0.5),
+        dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+        SELECT d.doc_id, (dr.doc_id IS NULL) AS keep
+        FROM documents d LEFT JOIN dropped dr USING (doc_id)
     """
     sql["ngram_jaccard"] = f"""
         WITH {_SHINGLES_CTE},

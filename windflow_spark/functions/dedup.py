@@ -205,6 +205,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_keep_list(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    minhash_k: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_df: int | None = None,
+) -> DataFrame:
+    """End-to-end near-dup dedup pipeline: the composition a real
+    training-data pipeline runs — shingle → MinHash signatures → LSH
+    band candidates → exact Jaccard verification restricted to the
+    candidates → greedy keep rule (a doc is DROPPED iff it pairs at
+    ``jaccard ≥ threshold`` with any lower-id doc; first occurrence
+    wins). Returns (id, keep boolean) for every input doc.
+
+    Scale shape: every stage is the bounded-shuffle primitive it
+    composes — no all-pairs join anywhere; the verification join only
+    touches LSH candidate pairs; the final decision is one left-anti
+    join on the id. Not a transitive closure: chains longer than the
+    LSH candidate reach keep their local survivors (the standard greedy
+    approximation; exact clustering needs iterative components)."""
+    sh = word_shingles(docs, id_col, text_col, n=n)
+    sigs = minhash_signatures(sh, id_col, k=minhash_k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands=bands, rows_per_band=rows_per_band)
+    pairs = ngram_jaccard_pairs(
+        sh, id_col, threshold=threshold, candidates=cands, max_df=max_df
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.select(id_col).join(dropped, id_col, "left_anti").withColumn(
+        "keep", F.lit(True)
+    ).unionByName(dropped.withColumn("keep", F.lit(False)))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """SimHash per doc via an Arrow-batched pandas UDF (the per-token
     bit-vote loop is genuinely non-relational): token hash = first 16
