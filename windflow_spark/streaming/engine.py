@@ -132,7 +132,9 @@ def stream_win_tb_nic(
     Returns one dict per window matching ``out_fields`` (a DDL string,
     e.g. ``"median_value double, cnt long"``); emit multi-row results
     (e.g. a skyline) as an array field and explode downstream."""
-    names = [f.split()[0] for f in out_fields.split(",")]
+    from pyspark.sql.types import StructType
+
+    names = StructType.fromDDL(out_fields).names
 
     @F.pandas_udf(out_fields)
     def _nic(arch: pd.Series) -> pd.DataFrame:
