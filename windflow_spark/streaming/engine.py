@@ -264,8 +264,6 @@ def stream_cb_windows(
         "wids array<long>, parts array<array<double>>, last_id long, "
         "buf_ids array<long>, buf_vals array<array<double>>"
     )
-    n_slots = sum(_CB_OPS[op][0] for op, _ in aggs.values())
-
     def _fold(ids: "np.ndarray", vals: dict, open_w: dict) -> list:
         """Fold sorted unique-per-policy ids into open windows; return
         fired (gwid, finalized...) rows. Fully vectorized: the wid
