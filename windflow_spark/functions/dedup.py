@@ -235,10 +235,16 @@ def dedup_keep_list(
     pairs = ngram_jaccard_pairs(
         sh, id_col, threshold=threshold, candidates=cands, max_df=max_df
     )
-    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return docs.select(id_col).join(dropped, id_col, "left_anti").withColumn(
-        "keep", F.lit(True)
-    ).unionByName(dropped.withColumn("keep", F.lit(False)))
+    # one LEFT join, not anti-join + union of the dropped side — the
+    # union form would evaluate the whole candidate pipeline twice
+    dropped = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return docs.select(id_col).join(dropped, id_col, "left").select(
+        id_col, F.col("_dropped").isNull().alias("keep")
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
