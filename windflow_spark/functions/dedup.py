@@ -215,6 +215,7 @@ def dedup_keep_list(
     bands: int = 4,
     rows_per_band: int = 4,
     max_df: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """End-to-end near-dup dedup pipeline: the composition a real
     training-data pipeline runs — shingle → MinHash signatures → LSH
@@ -225,11 +226,22 @@ def dedup_keep_list(
 
     Scale shape: every stage is the bounded-shuffle primitive it
     composes — no all-pairs join anywhere; the verification join only
-    touches LSH candidate pairs; the final decision is one left-anti
-    join on the id. Not a transitive closure: chains longer than the
-    LSH candidate reach keep their local survivors (the standard greedy
-    approximation; exact clustering needs iterative components)."""
+    touches LSH candidate pairs; the final decision is one left join on
+    the id. Not a transitive closure: chains longer than the LSH
+    candidate reach keep their local survivors (the standard greedy
+    approximation; exact clustering needs iterative components).
+
+    ``persist``: the shingle table feeds four branches (signatures,
+    set sizes, both self-join sides) and Spark's exchange reuse does
+    NOT unify them — without persistence the corpus is tokenized and
+    scanned per branch. Default persists shingles MEMORY_AND_DISK
+    (≈ shingle-count × avg-shingle bytes; at extreme scale prefer
+    pre-materializing the shingle table to parquet and persist=False)."""
     sh = word_shingles(docs, id_col, text_col, n=n)
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(sh, id_col, k=minhash_k)
     cands = lsh_candidate_pairs(sigs, id_col, bands=bands, rows_per_band=rows_per_band)
     pairs = ngram_jaccard_pairs(
