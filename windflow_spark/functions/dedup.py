@@ -108,13 +108,26 @@ def minhash_signatures(shingled: DataFrame, id_col: str, k: int = 32) -> DataFra
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    persist: bool = True,
 ) -> DataFrame:
     """Band the wide signature (band b = columns m{b*r}..m{b*r+r-1};
     band key = md5 of their comma-joined values) and emit candidate
     pairs (a < b) sharing ≥1 band bucket. The self-join runs
     bucket-local — a (band, band_key) hash join, never a global cross
-    product."""
+    product.
+
+    ``persist``: both self-join sides re-evaluate the signature
+    pipeline (tokenize → shingle → k-way min-agg) — Spark's exchange
+    reuse does not unify aliased subtrees — so the tiny signature table
+    (docs × k longs) is persisted by default to compute it once."""
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
