@@ -307,10 +307,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
 
 
-def simhash_near_pairs(sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    persist: bool = True,
+) -> DataFrame:
     """Near-dup pairs by SimHash: bucket join on 16-bit bands (4 bands
     of a 64-bit signature — Hamming ≤ 3 guarantees ≥1 identical band),
-    then exact Hamming filter via bit_count(xor)."""
+    then exact Hamming filter via bit_count(xor).
+
+    ``persist``: the banded table (4 narrow rows per doc) feeds both
+    self-join sides; persisted by default so the upstream SimHash UDF
+    runs once instead of per side."""
     banded = sims.select(
         id_col,
         "simhash",
@@ -328,6 +337,10 @@ def simhash_near_pairs(sims: DataFrame, id_col: str = "doc_id", max_hamming: int
             )
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.bkey")
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
