@@ -810,8 +810,12 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         ), sess AS (
           SELECT user_id, us,
-                 sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+                 -- BIGINT cast: DuckDB's windowed sum() returns HUGEINT,
+                 -- which lands in pandas as float64 and fails the driver's
+                 -- dtype-sensitive row hash against Spark's int64 (the
+                 -- round-2 red cell).
+                 cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           FROM gapped)
         SELECT user_id, session_id, min(us) AS session_start, max(us) AS session_end,
                count(*) AS cnt

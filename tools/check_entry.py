@@ -26,6 +26,24 @@ TABLES = [
 ]
 
 
+def _kind(dtype) -> str:
+    """Dtype family as the driver's row-hash would render it: int-family
+    (signed/unsigned) prints '3', float prints '3.0', bool prints 'True'.
+    A family mismatch between engine and oracle passes value comparison
+    but fails the driver hash (the round-2 session_windows red cell), so
+    it must FAIL here too."""
+    k = dtype.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in ("M", "m"):
+        return "int"  # normalize() casts datetimes to int64
+    return "str"
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -79,6 +97,15 @@ def main() -> int:
         if sorted(g.columns) != sorted(w.columns):
             failures.append(name)
             print(f"FAIL {name}: columns {sorted(g.columns)} vs {sorted(w.columns)}")
+            continue
+        kind_skew = [
+            (c, g[c].dtype, w[c].dtype)
+            for c in g.columns
+            if _kind(g[c].dtype) != _kind(w[c].dtype)
+        ]
+        if kind_skew:
+            failures.append(name)
+            print(f"FAIL {name}: dtype-family mismatch (driver hash would differ): {kind_skew}")
             continue
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False, rtol=1e-6, atol=1e-9)
