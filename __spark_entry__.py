@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from windflow_spark.api import Pipe
 from windflow_spark.functions import dedup, similarity, text
 from windflow_spark.functions import multimodal
-from windflow_spark.operators.core import accumulate, flat_map
+from windflow_spark.operators.core import accumulate, drop_regressions, flat_map
 from windflow_spark.operators.joins import asof_join, broadcast_dim_join
 from windflow_spark.operators.pane_farm import hierarchical_rollup, pane_farm
 from windflow_spark.operators.sessions import session_windows
@@ -198,6 +198,20 @@ def q_session_windows(spark, sf_dir):
         ev, ["user_id"], "us", gap=HOUR // 2, aggs={"cnt": F.count(F.lit(1))},
         tiebreak=["event_id"],
     )
+
+
+def q_ooo_drop(spark, sf_dir):
+    """Batch out-of-order drop rule (reference win_seq.hpp:289-305,
+    wf_nodes.hpp:104-121): rows arrive in a deterministic pseudo-random
+    order (fixed odd-multiplier permutation of event_id — portable
+    integer math, reproducible in the oracle), and any per-key ts
+    regression or duplicate is discarded — without assuming stable
+    (key, ts) input order. Composes upstream of any windowed operator."""
+    ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts")).withColumn(
+        "arrival", (F.col("event_id") * F.lit(2654435761)) % F.lit(2147483648)
+    )
+    kept = drop_regressions(ev, ["user_id"], "us", ["arrival"])
+    return kept.select("user_id", "event_id", "us")
 
 
 def q_accumulator(spark, sf_dir):
@@ -668,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_mapreduce_sliding": q_win_mapreduce_sliding,
         "hypertable_rollup": q_hypertable_rollup,
         "session_windows": q_session_windows,
+        "ooo_drop": q_ooo_drop,
         "accumulator": q_accumulator,
         "micro1_stateless": q_micro1_stateless,
         "union_pipes": q_union_pipes,
@@ -820,6 +835,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, session_id, min(us) AS session_start, max(us) AS session_end,
                count(*) AS cnt
         FROM sess GROUP BY 1, 2
+    """
+    sql["ooo_drop"] = """
+        WITH arr AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 (event_id * 2654435761) % 2147483648 AS arrival
+          FROM events),
+        px AS (
+          SELECT user_id, event_id, us,
+                 max(us) OVER (PARTITION BY user_id ORDER BY arrival
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+          FROM arr)
+        SELECT user_id, event_id, us FROM px
+        WHERE prev_max IS NULL OR us > prev_max
     """
     sql["accumulator"] = """
         SELECT event_type, event_id,

@@ -145,3 +145,74 @@ def test_pipe_pane_farm_and_win_mapreduce_methods(spark, cb_grid):
         got = p.df.toPandas()
         assert_frames_equal(got[["key", "gwid", "s"]],
                             want[["key", "gwid", "s"]], ["key", "gwid"])
+
+
+def test_drop_regressions_matches_sequential_rule(spark):
+    """Batch out-of-order drop == the reference's sequential per-key
+    scan (win_seq.hpp:289-305): consume rows in arrival order, keep a
+    row iff its ts strictly advances the per-key max; regressions AND
+    duplicates drop. Fixture is deliberately shuffled so the no-ordered-
+    input assumption is exercised."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "key": rng.integers(0, 3, n),
+            "ts": rng.integers(0, 120, n),
+            "arrival": rng.permutation(n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        core.drop_regressions(df, ["key"], "ts", ["arrival"])
+        .toPandas()
+        .sort_values(["key", "arrival"])
+        .reset_index(drop=True)
+    )
+    # reference rule: single-threaded scan in arrival order
+    kept_rows = []
+    last: dict[int, int] = {}
+    for _, r in pdf.sort_values("arrival").iterrows():
+        if r["ts"] > last.get(r["key"], -1):
+            last[r["key"]] = r["ts"]
+            kept_rows.append(r)
+    want = (
+        pd.DataFrame(kept_rows)
+        .sort_values(["key", "arrival"])
+        .reset_index(drop=True)
+        .astype(pdf.dtypes)
+    )
+    assert got[["key", "ts", "arrival"]].equals(want[["key", "ts", "arrival"]])
+
+
+def test_drop_regressions_then_window_is_order_insensitive(spark):
+    """The combinator closes SURVEY §4.2's gap: shuffling the input rows
+    does not change the windows computed downstream of the drop."""
+    import numpy as np
+
+    from windflow_spark.operators.windows import WinSpec, win_seq
+
+    rng = np.random.default_rng(3)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "key": rng.integers(0, 2, n),
+            "ts": rng.integers(0, 64, n),
+            "arrival": rng.permutation(n),
+            "value": rng.normal(size=n).round(3),
+        }
+    )
+    def windows_of(frame):
+        df = spark.createDataFrame(frame)
+        kept = core.drop_regressions(df, ["key"], "ts", ["arrival"])
+        return (
+            win_seq(kept, ["key"], "ts", WinSpec("tb", 16, 16),
+                    aggs={"s": F.round(F.sum("value"), 3)})
+            .toPandas().sort_values(["key", "gwid"]).reset_index(drop=True)
+        )
+
+    assert windows_of(pdf).equals(
+        windows_of(pdf.sample(frac=1.0, random_state=9).reset_index(drop=True))
+    )

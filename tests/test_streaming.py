@@ -637,3 +637,23 @@ def test_ordered_streaming_emission(spark, tx_path, tdir):
     for _, g in out.groupby("conv_id"):
         wids = sorted(g["gwid"])
         assert wids == list(range(len(wids)))
+
+
+def test_cb_fold_rejects_nan_values():
+    """The decomposable CB fold refuses null/NaN in non-count input
+    columns: pandas skipna would silently exclude them from sum/min/max
+    while the reference's per-row fold propagates — better to fail loud
+    at the operator boundary (count itself uses size(), every tuple)."""
+    import numpy as np
+    import pytest
+
+    from windflow_spark.streaming.engine import _make_cb_fold
+
+    fold = _make_cb_fold(
+        4, 4, {"s": ("sum", "v"), "c": ("count", None)}, ["v"]
+    )
+    open_w: dict = {}
+    fired = fold(np.arange(4), {"v": np.ones(4)}, open_w)
+    assert fired == [(0, 4.0, 4, 3)]
+    with pytest.raises(ValueError, match="NaN"):
+        fold(np.arange(4), {"v": np.array([1.0, np.nan, 1.0, 1.0])}, {})

@@ -207,3 +207,26 @@ def test_hierarchical_rollup(spark, tb_grid):
             with_win_end=False,
         ).toPandas()
         assert_frames_equal(lvl.toPandas(), want, ["key", "gwid"])
+
+
+def test_nic_group_size_guard_fires(spark):
+    """grouped_apply_in_pandas fails fast (with a pointer to INC/pane
+    decomposition) when one group exceeds max_group_rows — the
+    reference's own bounded-window caveat (win_seq.hpp:26-29) made
+    explicit instead of degrading quadratically in the carry concat."""
+    import pandas as pd
+    import pytest
+
+    from windflow_spark.operators.windows import grouped_apply_in_pandas
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1] * 5000, "v": range(5000)})
+    )
+    plan = grouped_apply_in_pandas(
+        df, ["k"],
+        lambda g: pd.DataFrame({"k": [g["k"].iloc[0]], "n": [len(g)]}),
+        "k long, n long",
+        max_group_rows=1000,
+    )
+    with pytest.raises(Exception, match="max_group_rows"):
+        plan.collect()

@@ -24,6 +24,35 @@ from pyspark.sql import functions as F
 
 from windflow_spark.functions.text import fingerprint, tokens
 
+# Persisted intermediates created by the persist=True defaults below
+# (signatures in lsh_candidate_pairs, shingles in dedup_keep_list,
+# banded table in simhash_near_pairs). These plans return lazily, so
+# the caller — not this module — owns the terminal action; in a
+# long-lived session call ``unpersist_all()`` after materializing
+# results to release the cache instead of waiting for LRU eviction.
+_PERSISTED: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame, level) -> DataFrame:
+    out = df.persist(level)
+    _PERSISTED.append(out)
+    return out
+
+
+def unpersist_all(blocking: bool = False) -> int:
+    """Unpersist every intermediate this module persisted (best-effort —
+    a stopped SparkSession makes it a no-op). Returns how many were
+    released. Call after the terminal action on returned plans."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: one row per distinct text — keeper = min id, plus
@@ -127,7 +156,7 @@ def lsh_candidate_pairs(
     if persist:
         from pyspark.storagelevel import StorageLevel
 
-        signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
+        signatures = _track_persist(signatures, StorageLevel.MEMORY_AND_DISK)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -254,7 +283,7 @@ def dedup_keep_list(
     if persist:
         from pyspark.storagelevel import StorageLevel
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = _track_persist(sh, StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(sh, id_col, k=minhash_k)
     cands = lsh_candidate_pairs(sigs, id_col, bands=bands, rows_per_band=rows_per_band)
     pairs = ngram_jaccard_pairs(
@@ -340,7 +369,7 @@ def simhash_near_pairs(
     if persist:
         from pyspark.storagelevel import StorageLevel
 
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded = _track_persist(banded, StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

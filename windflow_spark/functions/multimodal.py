@@ -70,24 +70,39 @@ def _fake_feature(payload: bytes, n: int = 8) -> np.ndarray:
 # NOT keyed on whether PIL/librosa import — merely having a codec lib
 # installed must never change behavior; only kinds with an actual
 # registered implementation route through a real decoder.
+#
+# NB: this module-global is DRIVER-side. On a real cluster, executors
+# re-import the module and would see an empty dict — pass decoders to
+# extract_features(decoders=...) instead; the dict is closure-captured
+# and shipped to executors via cloudpickle with the UDF. The global
+# remains as a convenience for registration at module import time
+# (e.g. a sitecustomize/zip-shipped __init__ that runs on executors).
 _REAL_DECODERS: dict[str, object] = {}
 
 
-def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
+def extract_features(
+    media: DataFrame, feat_dim: int = 8, decoders: dict[str, object] | None = None
+) -> DataFrame:
     """Decode + featurize media via mapInPandas (Arrow batches).
 
     Byte-level metadata (n_bytes, digest) is computed unconditionally —
     it needs no codecs. Features route through a real per-kind decoder
-    from ``_REAL_DECODERS`` when one is implemented (``decoded=True``);
-    otherwise the deterministic ``_fake_feature`` stand-in
-    (``decoded=False``). No path raises in the batch loop."""
+    (``decoded=True``); otherwise the deterministic ``_fake_feature``
+    stand-in (``decoded=False``). No path raises in the batch loop.
+
+    ``decoders`` — per-kind decode callables (bytes → feature vector),
+    closure-captured and serialized WITH the UDF, so they reach
+    executors regardless of import order (the reliable cluster path).
+    Falls back to the module-global ``_REAL_DECODERS`` registry, which
+    only works where registration also ran on the executor side."""
+    active = dict(_REAL_DECODERS) if decoders is None else dict(decoders)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
             feats, decoded = [], []
             for kind, p in zip(pdf["kind"], payloads):
-                real = _REAL_DECODERS.get(kind)
+                real = active.get(kind)
                 if real is not None:
                     feats.append(np.asarray(real(p), dtype=np.float32).tolist())
                     decoded.append(True)

@@ -42,8 +42,16 @@ def ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     (corpus × query) row. Equivalent to ranking the full set: pruning
     uses the same (cos desc, c_id asc) order, so any row it drops is
     dominated by k rows in its own partition. At 100 TB this turns the
-    N×Q-row rank shuffle into a bounded one."""
-    slim = scored.select("q_id", "c_id", "cos")
+    N×Q-row rank shuffle into a bounded one.
+
+    Non-finite cosines (a zero-norm vector divides 0/0 → NaN) are
+    EXCLUDED before ranking: pandas sort_values places NaN last while
+    Spark's desc window ranks NaN greatest, so a NaN surviving into
+    phase 1 would break the two-phase equivalence — and a NaN "top"
+    neighbor is meaningless anyway."""
+    slim = scored.select("q_id", "c_id", "cos").filter(
+        F.col("cos").isNotNull() & ~F.isnan("cos")
+    )
     schema = slim.schema
 
     def _prune(batches):

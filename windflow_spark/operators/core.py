@@ -100,6 +100,42 @@ def key_by(
     return df.repartition(num_partitions, *cols) if num_partitions else df.repartition(*cols)
 
 
+def drop_regressions(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: ColumnLike,
+    arrival_by: Sequence[ColumnLike],
+) -> DataFrame:
+    """Batch out-of-order drop rule: the reference discards any tuple
+    whose ts/id does not advance past the last one processed for its key
+    (includes/win_seq.hpp:289-305, wf_nodes.hpp:104-121 — same rule the
+    streaming path applies as ``stream_cb_windows(on_late="drop")``).
+
+    ``arrival_by`` defines the per-key arrival order (the sequence the
+    reference's single-threaded replica would consume); ``order_col`` is
+    the monotonicity subject (event ts or CB id). A row survives iff its
+    ``order_col`` is strictly greater than every earlier arrival's — so
+    regressions AND duplicates drop, exactly the streaming "drop"
+    policy's ``id > last_id`` test.
+
+    Physical plan: one shuffle on ``keys`` + in-partition sort + a
+    running-max window (no per-row Python) — the batch analogue costs
+    one exchange, same as any keyed stateful pass.
+    """
+    ord_c = F.expr(order_col) if isinstance(order_col, str) else order_col
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(*[F.expr(o) if isinstance(o, str) else o for o in arrival_by])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max(ord_c).over(w)
+    return (
+        df.withColumn("_prev_max", prev_max)
+        .filter(F.col("_prev_max").isNull() | (ord_c > F.col("_prev_max")))
+        .drop("_prev_max")
+    )
+
+
 def accumulate(
     df: DataFrame,
     keys: Sequence[str],

@@ -123,8 +123,12 @@ def win_end_expr(spec: WinSpec, origin: int = 0, gwid_col: str = GWID) -> Column
     return (F.col(gwid_col) * F.lit(spec.slide) + F.lit(spec.win - 1) + F.lit(origin)).cast("long")
 
 
+NIC_MAX_GROUP_ROWS = 5_000_000
+
+
 def grouped_apply_in_pandas(
-    df: DataFrame, group_cols: Sequence[str], fn: Callable, schema
+    df: DataFrame, group_cols: Sequence[str], fn: Callable, schema,
+    max_group_rows: int = NIC_MAX_GROUP_ROWS,
 ) -> DataFrame:
     """Grouped pandas-UDF execution tuned for MANY SMALL groups.
 
@@ -135,7 +139,15 @@ def grouped_apply_in_pandas(
     contiguous), then ``mapInPandas`` — each Arrow batch carries MANY
     whole groups; a group straddling a batch boundary is buffered and
     prepended to the next batch. ``fn(group_pdf) -> pdf`` keeps the
-    applyInPandas contract."""
+    applyInPandas contract.
+
+    NIC windows are inherently bounded by what one worker can hold —
+    the reference documents the same trade-off for its window archive
+    (includes/win_seq.hpp:26-29). A single group larger than
+    ``max_group_rows`` would also degrade quadratically in the
+    carry-group concat here, so the kernel FAILS FAST past the cap with
+    a pointer to the scalable alternatives (INC aggregates or pane
+    decomposition) instead of grinding."""
     import pandas as pd
 
     cols = list(group_cols)
@@ -145,6 +157,15 @@ def grouped_apply_in_pandas(
         carry = None
         for pdf in batches:
             if carry is not None and len(carry):
+                if len(carry) + len(pdf) > max_group_rows:
+                    raise RuntimeError(
+                        f"NIC group {tuple(carry[c].iloc[0] for c in cols)} "
+                        f"exceeds max_group_rows={max_group_rows}: a "
+                        "non-incremental UDF must hold the whole window on "
+                        "one worker (reference win_seq.hpp:26-29). Use an "
+                        "INC aggregate or pane/win_mapreduce decomposition "
+                        "for windows this large, or raise max_group_rows."
+                    )
                 pdf = pd.concat([carry, pdf], ignore_index=True)
                 carry = None
             if not len(pdf):
@@ -154,6 +175,15 @@ def grouped_apply_in_pandas(
             for c in cols:
                 mask &= pdf[c] == last[c]
             carry = pdf[mask]
+            if len(carry) > max_group_rows:
+                raise RuntimeError(
+                    f"NIC group {tuple(last[c] for c in cols)} exceeds "
+                    f"max_group_rows={max_group_rows}: a non-incremental "
+                    "UDF must hold the whole window on one worker "
+                    "(reference win_seq.hpp:26-29). Use an INC aggregate "
+                    "or pane/win_mapreduce decomposition for windows this "
+                    "large, or raise max_group_rows."
+                )
             head = pdf[~mask]
             if len(head):
                 for _, g in head.groupby(cols, sort=False):

@@ -189,18 +189,97 @@ def stream_session(
 _CB_OPS = {
     # op: (n_slots, batch_kernel(grouped) -> list of per-slot Series,
     #      merge(old_slots, new_slots), finalize(slots), out_sql_type)
+    # count uses size() (true row count, null-insensitive) — the
+    # reference's per-row fold counts EVERY tuple; null/NaN values in
+    # sum/min/max/mean input columns are rejected at the operator
+    # boundary (_make_cb_fold) rather than silently skipped, so pandas
+    # skipna semantics can't diverge from the reference fold.
     "sum": (1, lambda g: [g.sum()], lambda o, n: [o[0] + n[0]],
             lambda s: s[0], "double"),
-    "count": (1, lambda g: [g.count().astype("float64")],
+    "count": (1, lambda g: [g.size().astype("float64")],
               lambda o, n: [o[0] + n[0]], lambda s: int(s[0]), "long"),
     "min": (1, lambda g: [g.min()],
             lambda o, n: [min(o[0], n[0])], lambda s: s[0], "double"),
     "max": (1, lambda g: [g.max()],
             lambda o, n: [max(o[0], n[0])], lambda s: s[0], "double"),
-    "mean": (2, lambda g: [g.sum(), g.count().astype("float64")],
+    "mean": (2, lambda g: [g.sum(), g.size().astype("float64")],
              lambda o, n: [o[0] + n[0], o[1] + n[1]],
              lambda s: s[0] / s[1], "double"),
 }
+
+
+def _make_cb_fold(win: int, slide: int, aggs: dict, in_cols: list[str]):
+    """Build the vectorized CB fold kernel shared by stream_cb_windows
+    (applyInPandasWithState) and stream_cb_windows_tws
+    (transformWithStateInPandas): fold sorted ids into open windows,
+    return fired (gwid, finalized..., win_end) rows. Fully vectorized —
+    the wid explosion is arange arithmetic, partials one pandas groupby.
+
+    Columns feeding a non-count fold must be null/NaN-free: a NaN would
+    silently vanish under pandas skipna while the reference's per-row
+    fold propagates it, so the kernel raises instead."""
+    import numpy as np
+
+    strict_cols = sorted(
+        {c for op, c in aggs.values() if c is not None and op != "count"}
+    )
+
+    def _fold(ids: "np.ndarray", vals: dict, open_w: dict) -> list:
+        for c in strict_cols:
+            if np.isnan(vals[c]).any():
+                raise ValueError(
+                    f"null/NaN in CB fold input column {c!r} — the "
+                    "decomposable fold requires non-null values "
+                    "(filter or fillna upstream)"
+                )
+        last = ids // slide
+        first = np.maximum(0, (ids - win) // slide + 1)
+        # hopping (win < slide): ids in a gap have last < first — an
+        # empty wid range (includes/win_seq.hpp:326-338), clip to 0
+        counts = np.maximum(0, last - first + 1).astype(np.int64)
+        total = int(counts.sum())
+        row_idx = np.repeat(np.arange(len(ids)), counts)
+        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        wid = first[row_idx] + offs
+        frame = {"_w": wid}
+        for c in in_cols:
+            frame[c] = vals[c][row_idx]
+        if not in_cols:  # count-only folds still need a column to group
+            frame["_one"] = np.ones(total)
+        g = pd.DataFrame(frame).groupby("_w", sort=True)
+        slot_series = []
+        for op, c in aggs.values():
+            col = c if c is not None else (in_cols[0] if in_cols else "_one")
+            slot_series += _CB_OPS[op][1](g[col])
+        wkeys = slot_series[0].index.to_numpy()
+        mat = np.column_stack([s.to_numpy() for s in slot_series])
+        for w, new in zip(wkeys, mat):
+            old = open_w.get(int(w))
+            if old is None:
+                open_w[int(w)] = list(new)
+            else:
+                merged, pos = [], 0
+                for op, _c in aggs.values():
+                    ns = _CB_OPS[op][0]
+                    merged += _CB_OPS[op][2](old[pos:pos + ns], list(new[pos:pos + ns]))
+                    pos += ns
+                open_w[int(w)] = merged
+        # Triggerer_CB: fire windows whose last tuple is in this span
+        fired = []
+        f_mask = (ids - win + 1 >= 0) & ((ids - win + 1) % slide == 0)
+        for w in ((ids[f_mask] - win + 1) // slide).tolist():
+            part = open_w.pop(w, None)
+            if part is None:
+                continue
+            outs, pos = [], 0
+            for op, _c in aggs.values():
+                ns = _CB_OPS[op][0]
+                outs.append(_CB_OPS[op][3](part[pos:pos + ns]))
+                pos += ns
+            fired.append((w, *outs, w * slide + win - 1))
+        return fired
+
+    return _fold
 
 
 def stream_cb_windows(
@@ -264,56 +343,7 @@ def stream_cb_windows(
         "wids array<long>, parts array<array<double>>, last_id long, "
         "buf_ids array<long>, buf_vals array<array<double>>"
     )
-    def _fold(ids: "np.ndarray", vals: dict, open_w: dict) -> list:
-        """Fold sorted unique-per-policy ids into open windows; return
-        fired (gwid, finalized...) rows. Fully vectorized: the wid
-        explosion is arange arithmetic, partials one pandas groupby."""
-        last = ids // slide
-        first = np.maximum(0, (ids - win) // slide + 1)
-        # hopping (win < slide): ids in a gap have last < first — an
-        # empty wid range (includes/win_seq.hpp:326-338), clip to 0
-        counts = np.maximum(0, last - first + 1).astype(np.int64)
-        total = int(counts.sum())
-        row_idx = np.repeat(np.arange(len(ids)), counts)
-        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
-        wid = first[row_idx] + offs
-        frame = {"_w": wid}
-        for c in in_cols:
-            frame[c] = vals[c][row_idx]
-        if not in_cols:  # count-only folds still need a column to group
-            frame["_one"] = np.ones(total)
-        g = pd.DataFrame(frame).groupby("_w", sort=True)
-        slot_series = []
-        for op, c in aggs.values():
-            col = c if c is not None else (in_cols[0] if in_cols else "_one")
-            slot_series += _CB_OPS[op][1](g[col])
-        wkeys = slot_series[0].index.to_numpy()
-        mat = np.column_stack([s.to_numpy() for s in slot_series])
-        for w, new in zip(wkeys, mat):
-            old = open_w.get(int(w))
-            if old is None:
-                open_w[int(w)] = list(new)
-            else:
-                merged, pos = [], 0
-                for op, _c in aggs.values():
-                    ns = _CB_OPS[op][0]
-                    merged += _CB_OPS[op][2](old[pos:pos + ns], list(new[pos:pos + ns]))
-                    pos += ns
-                open_w[int(w)] = merged
-        # Triggerer_CB: fire windows whose last tuple is in this span
-        fired = []
-        f_mask = (ids - win + 1 >= 0) & ((ids - win + 1) % slide == 0)
-        for w in ((ids[f_mask] - win + 1) // slide).tolist():
-            part = open_w.pop(w, None)
-            if part is None:
-                continue
-            outs, pos = [], 0
-            for op, _c in aggs.values():
-                ns = _CB_OPS[op][0]
-                outs.append(_CB_OPS[op][3](part[pos:pos + ns]))
-                pos += ns
-            fired.append((w, *outs, w * slide + win - 1))
-        return fired
+    _fold = _make_cb_fold(win, slide, aggs, in_cols)
 
     def proc(
         k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -593,50 +623,52 @@ def stream_cb_windows_tws(
             "(missing in this environment) — use stream_cb_windows"
         )
 
+    import numpy as np
+
     win, slide = spec.win, spec.slide
     out_schema = f"{key} string, gwid long, sum_value double, cnt long, win_end long"
+    aggs = {"sum_value": ("sum", value_col), "cnt": ("count", None)}
+    fold = _make_cb_fold(win, slide, aggs, [value_col])
 
     class CBWindows(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            # generic slot layout (parts per open window) — same state
+            # shape as stream_cb_windows, so the two paths stay
+            # interchangeable as aggs generalize
             self._state = handle.getValueState(
-                "open_windows",
-                "wids array<long>, sums array<double>, cnts array<long>",
+                "open_windows", "wids array<long>, parts array<array<double>>"
             )
 
         def handleInputRows(self, k, rows, timerValues):
             got = self._state.get()
-            if got is not None:
-                wids, sums, cnts = got
-                open_w = {w: [s, c] for w, s, c in zip(wids, sums, cnts)}
-            else:
-                open_w = {}
+            open_w = (
+                {int(w): list(p) for w, p in zip(got[0], got[1])}
+                if got is not None
+                else {}
+            )
             fired = []
+            # numpy fold per Arrow batch (no per-row Python): shared
+            # kernel with stream_cb_windows (_make_cb_fold)
             for pdf in rows:
-                pdf = pdf.sort_values(id_col)
-                for i, v in zip(pdf[id_col], pdf[value_col]):
-                    i = int(i)
-                    last = i // slide
-                    first = max(0, (i - win) // slide + 1)
-                    for w in range(first, last + 1):
-                        part = open_w.setdefault(w, [0.0, 0])
-                        part[0] += float(v)
-                        part[1] += 1
-                        if i == w * slide + win - 1:  # Triggerer_CB
-                            fired.append(
-                                (k[0], w, part[0], part[1], w * slide + win - 1)
-                            )
-                            del open_w[w]
+                if not len(pdf):
+                    continue
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                vals = {value_col: pdf[value_col].to_numpy(dtype=np.float64)}
+                order = np.argsort(ids, kind="stable")
+                fired += fold(
+                    ids[order], {c: v[order] for c, v in vals.items()}, open_w
+                )
             items = sorted(open_w.items())
             self._state.update(
                 (
                     [w for w, _ in items],
-                    [p[0] for _, p in items],
-                    [p[1] for _, p in items],
+                    [list(map(float, p)) for _, p in items],
                 )
             )
             if fired:
                 yield pd.DataFrame(
-                    fired, columns=[key, "gwid", "sum_value", "cnt", "win_end"]
+                    [(k[0], *row) for row in sorted(fired)],
+                    columns=[key, "gwid", "sum_value", "cnt", "win_end"],
                 )
 
         def close(self) -> None:
