@@ -621,6 +621,51 @@ def q_streaming_accumulate(spark, sf_dir):
     )
 
 
+def q_streaming_interval_join(spark, sf_dir):
+    """North-rule stateful stream-stream join: click events correlated
+    to their triggering view events on user_id within a 1-hour bound
+    (watermarked StreamingSymmetricHashJoin) — ALL matches in the
+    bound, drained availableNow; == the batch interval join oracle."""
+    import uuid
+
+    from windflow_spark.streaming import engine as se
+
+    # two independent readers over the same staged directory (safer
+    # than filtering one streaming DF into both sides of a self-join)
+    left = _staged_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    right = _staged_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    ).select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    )
+    j = se.stream_interval_join(
+        left, right, ["user_id"], "l_ts", "r_ts",
+        bound_secs=3600, watermark="1 hour",
+    )
+    out = j.select(
+        F.col("l.user_id").alias("user_id"),
+        "l_id",
+        "r_id",
+        F.unix_micros("l_ts").alias("l_us"),
+        F.unix_micros("r_ts").alias("r_us"),
+    )
+    name = f"gate_stream_ij_{uuid.uuid4().hex[:8]}"
+    return se.run_to_memory(out, name, spark, output_mode="append")
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plumbing: one row per sampled frame
+    timestamp — a pure explode plan, no Python."""
+    media = multimodal.synth_media(_docs(spark, sf_dir), "doc_id", "text", kind="video")
+    return multimodal.frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ms").cast("long").alias("frame_ms")
+    )
+
+
 def q_per_turn_text(spark, sf_dir):
     """input_hint invariant surfaced in the gate: per-row text equality
     after a deterministic Map rewrite, under stable ordering — the
@@ -718,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_nic_median": q_streaming_nic_median,
         "streaming_session": q_streaming_session,
         "streaming_accumulate": q_streaming_accumulate,
+        "streaming_interval_join": q_streaming_interval_join,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1185,6 +1232,20 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["per_turn_text"] = """
         SELECT doc_id, upper(text) AS text_upper, length(text) AS text_len
+        FROM documents
+    """
+    sql["streaming_interval_join"] = f"""
+        SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+               epoch_us(l.ts) AS l_us, epoch_us(r.ts) AS r_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') l
+        JOIN (SELECT * FROM events WHERE event_type = 'view') r
+          ON l.user_id = r.user_id
+         AND epoch_us(r.ts) <= epoch_us(l.ts)
+         AND epoch_us(r.ts) >= epoch_us(l.ts) - {hour}
+    """
+    sql["multimodal_frames"] = """
+        SELECT doc_id AS media_id,
+               unnest(generate_series(0, length(text) * 10, 1000)) AS frame_ms
         FROM documents
     """
     sql["multimodal_meta"] = """

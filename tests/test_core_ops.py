@@ -216,3 +216,29 @@ def test_drop_regressions_then_window_is_order_insensitive(spark):
     assert windows_of(pdf).equals(
         windows_of(pdf.sample(frac=1.0, random_state=9).reset_index(drop=True))
     )
+
+
+def test_map_pandas_rich_runtime_context(spark):
+    """"Rich" UDF variant (reference context.hpp:45-82): the UDF sees a
+    RuntimeContext with its replica index (== task partition id) and the
+    declared replica count; rows processed by one task all report the
+    same replica, and indexes cover [0, n)."""
+    pdf = pd.DataFrame({"x": range(1000)})
+    df = core.key_by(spark.createDataFrame(pdf), "x", num_partitions=4)
+
+    def fn(ctx, batches):
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "x": b["x"],
+                    "replica": ctx.replica_index,
+                    "n_replicas": ctx.num_replicas,
+                }
+            )
+
+    out = core.map_pandas_rich(
+        df, fn, "x long, replica int, n_replicas int", num_replicas=4
+    ).toPandas()
+    assert len(out) == 1000
+    assert set(out["n_replicas"]) == {4}
+    assert set(out["replica"]) <= set(range(4)) and out["replica"].nunique() > 1

@@ -47,6 +47,53 @@ def map_pandas(df: DataFrame, fn: Callable, schema) -> DataFrame:
     return df.mapInPandas(fn, schema=schema)
 
 
+class RuntimeContext:
+    """The reference's RuntimeContext surface (includes/context.hpp:45-82)
+    for "rich" UDF variants: which replica am I, how many replicas run
+    this operator, plus Spark stage/attempt identity for logging.
+
+    ``num_replicas`` is what the caller declared (Spark's Python
+    TaskContext does not expose partition count); -1 when unknown.
+    As in the reference, anything computed from the replica index is
+    inherently partitioning-dependent — use for sharded resources
+    (per-replica RNG streams, connection pools, local caches), never
+    for data semantics."""
+
+    __slots__ = ("replica_index", "num_replicas", "stage_id", "attempt_number")
+
+    def __init__(self, replica_index: int, num_replicas: int,
+                 stage_id: int, attempt_number: int):
+        self.replica_index = replica_index
+        self.num_replicas = num_replicas
+        self.stage_id = stage_id
+        self.attempt_number = attempt_number
+
+
+def map_pandas_rich(
+    df: DataFrame, fn: Callable, schema, num_replicas: int | None = None
+) -> DataFrame:
+    """"Rich" Map/FlatMap (builders.hpp "rich" overloads +
+    includes/context.hpp:45-82): ``fn(ctx, iter_of_pandas) ->
+    iter_of_pandas`` where ``ctx`` is a :class:`RuntimeContext` bound to
+    the executing task — replica_index = the task's partition id, the
+    Spark analogue of the reference's replica index. Arrow-batched like
+    map_pandas; combine with :func:`key_by` to pin the replica count."""
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        ctx = RuntimeContext(
+            tc.partitionId() if tc else 0,
+            num_replicas if num_replicas is not None else -1,
+            tc.stageId() if tc else -1,
+            tc.attemptNumber() if tc else 0,
+        )
+        yield from fn(ctx, batches)
+
+    return df.mapInPandas(run, schema)
+
+
 def filter_(df: DataFrame, predicate: ColumnLike) -> DataFrame:
     """Filter operator: keep rows where predicate holds.
 
