@@ -357,7 +357,11 @@ def q_dedup_fingerprint(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    sh = dedup.word_shingles(_docs(spark, sf_dir), "doc_id", "text", n=3)
+    # distinct=False: min() is duplicate-insensitive, so the shingle
+    # dedupe exchange is pure cost on the MinHash-only path (identical
+    # signatures; the oracle's DISTINCT shingle CTE still matches)
+    sh = dedup.word_shingles(_docs(spark, sf_dir), "doc_id", "text", n=3,
+                             distinct=False)
     sigs = dedup.minhash_signatures(sh, "doc_id", k=16)
     return dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
 

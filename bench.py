@@ -552,11 +552,17 @@ def main() -> None:
     for t in ("events", "documents", "embeddings"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     _noop(qs["win_tb_tumbling"](spark, SF_DIR))
+    # best-of-2 per query: hypervisor steal bursts hit single samples up
+    # to 2-3×; two in-JVM runs halve the battery's noise for ~25 s extra
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        _noop(qs[name](spark, SF_DIR))
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _noop(qs[name](spark, SF_DIR))
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        times[name] = round(best, 3)
 
     # flagship throughput (amplified stream); warm once, time once —
     # the scaling section measures it more carefully in fresh JVMs

@@ -73,12 +73,20 @@ def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc, computed entirely map-side:
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per doc, computed entirely map-side:
     ``transform(sequence(...), i -> concat_ws(' ', slice(tokens, i, n)))``
     then explode — no window function, so no exchange+sort of the token
-    stream (the earlier lead()-based plan shuffled every token). The
-    only exchange left is the distinct()."""
+    stream (the earlier lead()-based plan shuffled every token).
+
+    ``distinct`` (default) dedupes (doc, shingle) — REQUIRED for set
+    semantics (Jaccard sizes/intersections). Pass ``distinct=False``
+    when feeding only duplicate-insensitive consumers (MinHash's min()
+    is one): that drops the one remaining exchange, making the shingle
+    stage fully map-side."""
     toks = tokens(text_col)
     sh = F.when(
         F.size(toks) >= n,
@@ -87,10 +95,8 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 # MinHash mixing: one md5 per shingle → 60-bit int → k universal-hash
