@@ -242,3 +242,18 @@ def test_map_pandas_rich_runtime_context(spark):
     assert len(out) == 1000
     assert set(out["n_replicas"]) == {4}
     assert set(out["replica"]) <= set(range(4)) and out["replica"].nunique() > 1
+
+
+def test_pipe_drop_regressions_fluent(spark):
+    """Fluent surface: Pipe.key_by(...).drop_regressions(...) == the
+    combinator on the same key."""
+    pdf = pd.DataFrame(
+        {"k": [0, 0, 0, 1, 1], "ts": [5, 3, 7, 2, 2], "arr": [0, 1, 2, 0, 1]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        Pipe.source(df).key_by("k").drop_regressions("ts", ["arr"])
+        .df.toPandas().sort_values(["k", "arr"]).reset_index(drop=True)
+    )
+    # k=0: 5 kept, 3 regresses, 7 kept; k=1: 2 kept, duplicate 2 drops
+    assert list(zip(got["k"], got["ts"])) == [(0, 5), (0, 7), (1, 2)]

@@ -75,6 +75,18 @@ class Pipe:
     def accumulate(self, order_by: Sequence[Column | str], **aggs: Column) -> "Pipe":
         return Pipe(core.accumulate(self.df, self.keys, order_by, aggs), self.keys)
 
+    def drop_regressions(
+        self, order_col: Column | str, arrival_by: Sequence[Column | str]
+    ) -> "Pipe":
+        """Reference out-of-order drop rule on the current key
+        (win_seq.hpp:289-305): discard rows whose ``order_col`` does not
+        strictly advance the per-key max over the ``arrival_by`` order.
+        See core.drop_regressions."""
+        return Pipe(
+            core.drop_regressions(self.df, self.keys, order_col, arrival_by),
+            self.keys,
+        )
+
     def union_(self, *others: "Pipe") -> "Pipe":
         df = self.df
         for o in others:
