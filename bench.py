@@ -634,9 +634,33 @@ def main() -> None:
     scale_amp = AMP * 4
     scaling["scaling_rows_in"] = None
     best: dict[int, float] = {}
+
+    # bounded quiet-window gating: host DRAM bandwidth oscillates
+    # 13→57 GB/s on ~10-minute timescales (neighbor contention), and a
+    # starved window wrecks the 32-core side ~4× harder than the 8-core
+    # side. Before each sample, wait (30 s steps, ≤120 s per sample,
+    # ≤420 s total across the run) for the probe to read ≥ 40 GB/s; the
+    # pre-sample probe is recorded per sample (bw_pre_gbps) so the
+    # artifact shows what each sample actually got. Samples still run
+    # when the wait budget is exhausted — gating trades a little wall
+    # clock for samples that measure the ENGINE, not the neighbors.
+    quiet_budget = 420.0
+
+    def wait_quiet(min_gbps: float = 40.0, per_sample: float = 120.0) -> float:
+        nonlocal quiet_budget
+        waited = 0.0
+        bw = bw_probe()
+        while bw < min_gbps and waited < per_sample and quiet_budget > 0:
+            time.sleep(30)
+            waited += 30
+            quiet_budget -= 30
+            bw = bw_probe()
+        return bw
+
     for cores, reps in ((32, 3), (8, 3), (32, 3), (8, 3), (32, 3), (8, 3)):
         if time.time() - t_start > 1500 and 8 in best and 32 in best:
             break
+        bw_pre = wait_quiet()
         out = subprocess.run(
             [sys.executable, __file__, "--single", str(cores), str(reps)],
             capture_output=True, text=True, timeout=1200,
@@ -654,6 +678,7 @@ def main() -> None:
         scaling["samples"].append(
             {"cores": cores, "sec": round(r["sec"], 3),
              "steal_jiffies": r.get("steal_jiffies", -1),
+             "bw_pre_gbps": bw_pre,
              "bw_probe_gbps": bw_probe()}
         )
         if 8 in best and 32 in best:
