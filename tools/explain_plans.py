@@ -26,6 +26,7 @@ SHOW = [
     "micro1_stateless",
     "win_topk",
     "win_count_distinct",
+    "ooo_drop",
 ]
 
 
