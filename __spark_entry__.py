@@ -134,6 +134,18 @@ def q_win_cb_sliding(spark, sf_dir):
     )
 
 
+def q_win_cb_hopping(spark, sf_dir):
+    """CB hopping (win < slide): ids in the inter-window gap get an
+    empty wid range and are DISCARDED (win_seq.hpp:326-338)."""
+    ev = cb_ids(
+        _events(spark, sf_dir), ["user_id"], [F.col("ts"), F.col("event_id")]
+    )
+    return win_seq(
+        ev, ["user_id"], "wf_id", WinSpec("cb", 4, 16),
+        aggs={"cnt": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)},
+    )
+
+
 def q_win_nic_median(spark, sf_dir):
     """NIC path: whole-window pandas UDF (median — order statistic the
     INC path can't fold). NB: this gate deliberately exercises the NIC
@@ -579,6 +591,37 @@ def q_streaming_nic_median(spark, sf_dir):
     )
 
 
+def q_streaming_topk(spark, sf_dir):
+    """Streaming windowed top-k (multi-row whole-window emission): the
+    NIC archive path emits the per-window top-3 as parallel arrays,
+    exploded downstream to (rnk, event_id, value) rows — drained
+    stream == the batch win_topk oracle at the same spec."""
+    import uuid
+
+    from windflow_spark.streaming import engine as se
+
+    def nic(w: pd.DataFrame) -> dict:
+        s = w.sort_values(["value", "event_id"], ascending=[False, True]).head(3)
+        return {"ids": s["event_id"].tolist(), "vals": s["value"].tolist()}
+
+    src = _staged_events_stream(spark, sf_dir)
+    out = se.stream_win_tb_nic(
+        src, ["event_type"], "ts", WinSpec("tb", 6 * 3600, 6 * 3600), nic,
+        "ids array<long>, vals array<double>", payload_cols=["event_id", "value"],
+        watermark="1 hour", unit="second",
+    )
+    name = f"gate_stream_topk_{uuid.uuid4().hex[:8]}"
+    res = se.run_to_memory(out, name, spark, output_mode="complete")
+    return res.select(
+        "event_type", "gwid", F.posexplode(F.arrays_zip("ids", "vals")).alias("_p", "_it")
+    ).select(
+        "event_type", "gwid",
+        (F.col("_p") + 1).cast("long").alias("rnk"),
+        F.col("_it.ids").alias("event_id"),
+        F.col("_it.vals").alias("value"),
+    )
+
+
 def q_streaming_session(spark, sf_dir):
     """Native session_window on the drained stream == the batch
     gap-split oracle on (user_id, session_start, cnt) — merge rule
@@ -726,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_tb_hopping": q_win_tb_hopping,
         "win_cb_tumbling": q_win_cb_tumbling,
         "win_cb_sliding": q_win_cb_sliding,
+        "win_cb_hopping": q_win_cb_hopping,
         "win_nic_median": q_win_nic_median,
         "pane_farm_sliding": q_pane_farm_sliding,
         "win_mapreduce_sliding": q_win_mapreduce_sliding,
@@ -768,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session": q_streaming_session,
         "streaming_accumulate": q_streaming_accumulate,
         "streaming_interval_join": q_streaming_interval_join,
+        "streaming_topk": q_streaming_topk,
         "multimodal_frames": q_multimodal_frames,
     }
 
@@ -853,6 +898,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, gwid, count(*) AS cnt, round(sum(value), 4) AS sum_value,
                gwid*4 + 15 AS win_end
         FROM wids GROUP BY 1, 2
+    """
+    sql["win_cb_hopping"] = """
+        WITH ids AS (
+          SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS wf_id
+          FROM events)
+        SELECT user_id, wf_id // 16 AS gwid, count(*) AS cnt,
+               round(sum(value), 4) AS sum_value, (wf_id // 16)*16 + 3 AS win_end
+        FROM ids WHERE wf_id % 16 < 4
+        GROUP BY 1, 2
     """
     sql["win_nic_median"] = f"""
         SELECT event_type, cast(floor(epoch_us(ts)/{hour}.0) AS BIGINT) AS gwid,
@@ -1222,6 +1277,16 @@ def oracle_sql() -> dict[str, str]:
           FROM gapped)
         SELECT user_id, min(us) AS session_start, count(*) AS cnt
         FROM sess GROUP BY user_id, session_id
+    """
+    sql["streaming_topk"] = """
+        SELECT event_type, gwid, rnk, event_id, value FROM (
+          SELECT event_type,
+                 cast(floor(epoch_us(ts)/21600000000.0) AS BIGINT) AS gwid,
+                 event_id, value,
+                 row_number() OVER (
+                   PARTITION BY event_type, cast(floor(epoch_us(ts)/21600000000.0) AS BIGINT)
+                   ORDER BY value DESC, event_id ASC) AS rnk
+          FROM events) WHERE rnk <= 3
     """
     sql["streaming_accumulate"] = """
         WITH ids AS (
