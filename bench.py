@@ -537,6 +537,22 @@ def main() -> None:
     if "--live" in sys.argv:
         run_live_latency(int(sys.argv[sys.argv.index("--live") + 1]))
         return
+    if "--scaling-only" in sys.argv:
+        # re-run ONLY the scaling section (e.g. to retry in a quieter
+        # host window), preserving the other sections from the last
+        # full artifact
+        full = REPO / "BENCH" / "latest_full.json"
+        artifact = (
+            json.loads(full.read_text())
+            if full.exists()
+            else {"metric": "headline_battery_seconds", "value": None,
+                  "unit": "sec", "queries": {}, "sf": SF_DIR,
+                  "throughput": {}, "streaming": {}, "scaling": {}}
+        )
+        emit = _make_emit(artifact)
+        run_scaling_section(artifact, emit, time.time())
+        emit()
+        return
     do_scaling = (
         "--no-scaling" not in sys.argv
         and os.environ.get("SPARK_GRAFT_BENCH_FAST") != "1"
@@ -597,16 +613,25 @@ def main() -> None:
         "scaling": {},
     }
 
+    emit = _make_emit(artifact)
+    emit()
+    if not do_scaling:
+        return
+    run_scaling_section(artifact, emit, t_start)
+    run_streaming_section(artifact, emit, t_start)
+
+
+def _make_emit(artifact: dict):
     def emit() -> None:
         full = REPO / "BENCH" / "latest_full.json"
         full.parent.mkdir(exist_ok=True)
         full.write_text(json.dumps(artifact, indent=1))
         print(json.dumps(_compact(artifact)), flush=True)
 
-    emit()
-    if not do_scaling:
-        return
+    return emit
 
+
+def run_scaling_section(artifact: dict, emit, t_start: float) -> None:
     # scaling: best-of-N fresh JVMs per size (±20% VM timing noise +
     # hypervisor steal bursts make single samples read up to 3× slow);
     # 32-core samples lead the order — a slow t32 biases the ratio DOWN,
@@ -714,6 +739,8 @@ def main() -> None:
                 scaling["efficiency_8_to_32"] = max(pair_effs)
             emit()
 
+
+def run_streaming_section(artifact: dict, emit, t_start: float) -> None:
     for _ in range(2):  # streaming drain: best of 2 fresh JVMs
         out = subprocess.run(
             [sys.executable, __file__, "--stream", str(CPUS)],
