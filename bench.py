@@ -159,9 +159,11 @@ def run_single(cores: int, reps: int = 3) -> None:
 
     Shuffle partitions: each size runs its own optimum (what a real
     deployment does) — 1× cores at low parallelism (extra reduce waves
-    just add fixed overhead: 8@16 parts measured 24.99 s vs 8@8 21.09 s),
-    2× cores at high parallelism (≥2 tasks/core overlap steal-stalled
-    stragglers: 32@64 parts 6.18 s vs 32@32 7.67 s)."""
+    just add fixed overhead: 8@16 parts measured 23.8 s, 8@32 34.9 s vs
+    8@8 19.6 s), 2× cores at high parallelism (≥2 tasks/core overlap
+    steal-stalled stragglers: 32@64 parts 6.18 s vs 32@32 7.67 s; a
+    32@128 sweep read faster once but did not replicate under clean
+    steal — the round-3 clean-window samples all used 64)."""
     spark = _spark(f"local[{cores}]", cores if cores <= 16 else 2 * cores)
     materialize_amplified(spark, SF_DIR, AMP)
     n_in = spark.read.parquet(_amp_path(AMP)).count()
