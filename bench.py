@@ -23,12 +23,16 @@ to BENCH/latest_full.json on every emission.
 - scaling efficiency N→4N cores (BASELINE.md sandbox protocol):
   identical flagship job at local[8] vs local[32] in fresh JVMs,
   shuffle partitions scaled with cores. HEADLINE estimator =
-  efficiency_8_to_32 over the best ADJACENT same-window (32, 8) sample
-  pair: paired samples share host conditions, which is the only fair
-  strong-scaling read on a noisy-neighbor box (host DRAM-bandwidth
-  contention hits the 32-core side ~4× harder and swings minute to
-  minute — see BENCH/BASELINE.md); cross-window best-of and median
-  estimators + CPU/membw hardware-ceiling controls ship beside it.
+  efficiency_8_to_32 over the best VALID adjacent same-window (32, 8)
+  sample pair, clamped at 1.0: a pair counts only when both samples
+  are condition-matched (steal < pair_steal_cap on each side AND
+  pre-sample bandwidth probes within 20%), because adjacency alone
+  let r3 pair a steal-drenched 8-core run with a clean 32-core run
+  and report an impossible 1.222 (host DRAM-bandwidth contention hits
+  the 32-core side ~4× harder and swings minute to minute — see
+  BENCH/BASELINE.md); headline_valid says whether any matched pair
+  existed, and cross-window best-of and median estimators + CPU/membw
+  hardware-ceiling controls ship beside it.
 
 Usage:
   python bench.py                 # full battery + scaling + streaming
@@ -286,7 +290,8 @@ def _compact(a: dict) -> dict:
         c["scaling"] = {
             k: sc[k]
             for k in (
-                "efficiency_8_to_32", "efficiency_cross_window",
+                "efficiency_8_to_32", "headline_valid",
+                "efficiency_cross_window",
                 "efficiency_median_8_to_32", "control_cpu_eff_8_to_32",
                 "control_membw_eff_8_to_32", "local8_events_per_sec",
                 "local32_events_per_sec", "scaling_rows_in",
@@ -294,6 +299,12 @@ def _compact(a: dict) -> dict:
             if sc.get(k) is not None
         }
     c["full_artifact"] = "BENCH/latest_full.json"
+    # hard ≤ ~1 KB stdout guarantee (the driver parses a ~2 KB stdout
+    # tail; r2's overrun made the round unreadable): the queries map is
+    # the only unbounded part — drop it before ever exceeding the
+    # budget (full data is always in BENCH/latest_full.json)
+    if len(json.dumps(c)) > 1000:
+        c["queries"] = f"(dropped, {len(a['queries'])} entries — see full artifact)"
     return c
 
 
@@ -403,6 +414,7 @@ def run_live_latency(
     wm_s: int = 2,
     rows_per_file: int = 2000,
     file_every_s: float = 0.25,
+    trigger_ms: int = 500,
 ) -> None:
     """True window-emit latency on a live feed (VERDICT r2 #8 /
     BASELINE.md metric 2): parquet files appended on a WALL clock with
@@ -474,7 +486,7 @@ def run_live_latency(
         out.writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
-        .trigger(processingTime="500 milliseconds")
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
         .start()
     )
 
@@ -512,6 +524,7 @@ def run_live_latency(
         "n_windows": len(lats),
         "win_s": win_s,
         "watermark_s": wm_s,
+        "trigger_ms": trigger_ms,
         "feed_rows_per_sec": round(rows_per_file / file_every_s),
         "emit_p50_ms": round(lats[len(lats) // 2]) if lats else None,
         "emit_p99_ms": round(lats[min(len(lats) - 1, int(0.99 * len(lats)))])
@@ -537,7 +550,13 @@ def main() -> None:
         run_stream_bench(int(sys.argv[sys.argv.index("--stream") + 1]))
         return
     if "--live" in sys.argv:
-        run_live_latency(int(sys.argv[sys.argv.index("--live") + 1]))
+        i = sys.argv.index("--live")
+        rest = [int(x) for x in sys.argv[i + 1:i + 5]]
+        cores = rest[0] if len(rest) > 0 else 8
+        win_s = rest[1] if len(rest) > 1 else 5
+        wm_s = rest[2] if len(rest) > 2 else 2
+        trig = rest[3] if len(rest) > 3 else 500
+        run_live_latency(cores, win_s=win_s, wm_s=wm_s, trigger_ms=trig)
         return
     if "--scaling-only" in sys.argv:
         # re-run ONLY the scaling section (e.g. to retry in a quieter
@@ -570,17 +589,31 @@ def main() -> None:
     for t in ("events", "documents", "embeddings"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     _noop(qs["win_tb_tumbling"](spark, SF_DIR))
-    # best-of-2 per query: hypervisor steal bursts hit single samples up
-    # to 2-3×; two in-JVM runs halve the battery's noise for ~25 s extra
+    # steal-stamped best-of-N per query (VERDICT r3 #2): hypervisor
+    # steal bursts hit single samples up to 2-3×, and r3's battery
+    # carried six regressions with no per-rep evidence to attribute
+    # them to the host. Each rep records its steal delta; the kept
+    # time is the fastest rep whose steal stayed under the cap (a 3rd
+    # rep runs only when the first two were both steal-drenched), and
+    # the chosen rep's steal lands in the full artifact beside the
+    # time so a slower number carries its own attribution.
+    BATTERY_STEAL_CAP = 500  # jiffies over a ≤ few-sec query ⇒ clean
     times: dict[str, float] = {}
+    battery_steal: dict[str, int] = {}
     for name in HEADLINE:
-        best = None
-        for _ in range(2):
+        reps: list[tuple[float, int]] = []
+        for i in range(3):
+            s0 = _steal_jiffies()
             t0 = time.time()
             _noop(qs[name](spark, SF_DIR))
             el = time.time() - t0
-            best = el if best is None else min(best, el)
-        times[name] = round(best, 3)
+            reps.append((el, _steal_jiffies() - s0))
+            if i == 1 and any(st < BATTERY_STEAL_CAP for _, st in reps):
+                break
+        clean = [r for r in reps if r[1] < BATTERY_STEAL_CAP]
+        el, st = min(clean or reps)
+        times[name] = round(el, 3)
+        battery_steal[name] = st
 
     # flagship throughput (amplified stream); warm once, time once —
     # the scaling section measures it more carefully in fresh JVMs
@@ -609,6 +642,8 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "queries_steal_jiffies": battery_steal,
+        "battery_steal_cap": BATTERY_STEAL_CAP,
         "sf": SF_DIR,
         "throughput": throughput,
         "streaming": {},
@@ -633,6 +668,48 @@ def _make_emit(artifact: dict):
     return emit
 
 
+PAIR_STEAL_CAP = 1000  # jiffies over a full sample subprocess ⇒ clean
+
+
+def headline_from_pairs(samples: list[dict], steal_cap: int = PAIR_STEAL_CAP,
+                        bw_tol: float = 1.2) -> dict:
+    """Condition-matched headline estimator (VERDICT r3 #1): adjacent
+    (32, 8) sample pairs, each pair VALID only when both sides' steal
+    is under ``steal_cap`` AND their pre-sample bandwidth probes agree
+    within ``bw_tol`` — adjacency alone paired a 39k-steal 8-core
+    sample with a clean 32-core one in r3 and reported an impossible
+    1.222. Headline = max over valid pairs, clamped at 1.0; with no
+    valid pair, the median pair ships with headline_valid=false."""
+    pairs = []
+    for i in range(1, len(samples)):
+        a, b = samples[i - 1], samples[i]
+        if {a["cores"], b["cores"]} == {8, 32}:
+            s32 = a if a["cores"] == 32 else b
+            s8 = b if b["cores"] == 8 else a
+            bws = sorted((s8["bw_pre_gbps"], s32["bw_pre_gbps"]))
+            pairs.append({
+                "eff": round(s8["sec"] / (4 * s32["sec"]), 3),
+                "steal": [s8["steal_jiffies"], s32["steal_jiffies"]],
+                "bw_pre": [s8["bw_pre_gbps"], s32["bw_pre_gbps"]],
+                "valid": (
+                    max(s8["steal_jiffies"], s32["steal_jiffies"]) < steal_cap
+                    and bws[0] > 0 and bws[1] / bws[0] <= bw_tol
+                ),
+            })
+    if not pairs:
+        return {}
+    out = {"pairs": pairs, "pair_steal_cap": steal_cap}
+    valid = [p["eff"] for p in pairs if p["valid"]]
+    if valid:
+        out["efficiency_8_to_32"] = min(1.0, max(valid))
+        out["headline_valid"] = True
+    else:
+        effs = sorted(p["eff"] for p in pairs)
+        out["efficiency_8_to_32"] = min(1.0, effs[len(effs) // 2])
+        out["headline_valid"] = False
+    return out
+
+
 def run_scaling_section(artifact: dict, emit, t_start: float) -> None:
     # scaling: best-of-N fresh JVMs per size (±20% VM timing noise +
     # hypervisor steal bursts make single samples read up to 3× slow);
@@ -641,12 +718,14 @@ def run_scaling_section(artifact: dict, emit, t_start: float) -> None:
     # ceiling controls ship inside the artifact (control_* keys).
     scaling: dict = {"samples": [], "note": (
         "best-of-N fresh JVMs; HEADLINE efficiency_8_to_32 = best "
-        "adjacent same-window (32,8) sample pair (paired samples share "
-        "host conditions — the fairest read on a noisy-neighbor box: "
-        "host bandwidth contention hits the 32-core side ~4x harder and "
-        "is invisible to steal; bw_probe_gbps per sample shows what the "
-        "host gave each run); efficiency_cross_window = "
-        "best(t32_tput)/(4*best(t8_tput)); eff_median over per-sample "
+        "VALID adjacent same-window (32,8) sample pair, clamped at "
+        "1.0 — a pair is valid only when both sides' steal < "
+        "pair_steal_cap AND their bw_pre probes agree within 20% "
+        "(condition-matched; see 'pairs'); headline_valid=false means "
+        "no matched pair existed and the median pair shipped instead "
+        "(retry with --scaling-only in a quieter window). "
+        "efficiency_cross_window = best(t32_tput)/(4*best(t8_tput)); "
+        "eff_median over per-sample "
         "throughputs. control_cpu = pure-CPU 8→32 ceiling (~1.0 ⇒ cores "
         "real/quiet), control_membw = DRAM-bandwidth ceiling this "
         "single-socket VM imposes on shuffle/agg-heavy work; see "
@@ -717,28 +796,31 @@ def run_scaling_section(artifact: dict, emit, t_start: float) -> None:
                 ts = sorted(x["sec"] for x in scaling["samples"] if x["cores"] == n)
                 med[n] = r["rows_in"] / ts[len(ts) // 2]
             scaling["efficiency_median_8_to_32"] = round(med[32] / (4 * med[8]), 3)
-            # HEADLINE estimator (efficiency_8_to_32) = best ADJACENT
-            # same-window (32, 8) pair: paired samples share host
-            # conditions, so this is the fairest strong-scaling read on
-            # a noisy-neighbor box — cross-window best-of mixes a quiet
-            # 8-core window (barely hurt by contention) with a busy
-            # 32-core one (hurt ~4× harder) and reads anywhere in
-            # 0.3–1.2 while the quiet-window truth sits near 0.8. The
-            # in-artifact CPU/membw controls justify the choice per run:
-            # when control_membw itself reads < 0.8, the DRAM ceiling —
-            # not the engine — bounds any single-socket measurement
-            # (a real N→4N cluster multiplies memory controllers too).
-            pair_effs = []
-            ss = scaling["samples"]
-            for i in range(1, len(ss)):
-                a, b = ss[i - 1], ss[i]
-                if {a["cores"], b["cores"]} == {8, 32}:
-                    t32 = a["sec"] if a["cores"] == 32 else b["sec"]
-                    t8 = b["sec"] if b["cores"] == 8 else a["sec"]
-                    pair_effs.append(round(t8 / (4 * t32), 3))
-            if pair_effs:
-                scaling["pair_efficiencies"] = pair_effs
-                scaling["efficiency_8_to_32"] = max(pair_effs)
+            # HEADLINE estimator (efficiency_8_to_32) = best VALID
+            # ADJACENT same-window (32, 8) pair. Adjacent pairing is
+            # the right idea (paired samples SHOULD share host
+            # conditions — cross-window best-of mixes a quiet 8-core
+            # window with a busy 32-core one and reads anywhere in
+            # 0.3–1.2) but r3 proved adjacency alone doesn't guarantee
+            # matched conditions: max-of-pairs picked a pair whose
+            # 8-core sample ran under 39k steal jiffies against a
+            # 24k-steal 32-core sample and reported a physically
+            # impossible 1.222 (VERDICT r3 #1). A pair is now VALID
+            # only when both samples measured the ENGINE, not the
+            # neighbors: each side's steal below PAIR_STEAL_CAP and
+            # the two sides' pre-sample bandwidth probes within 20% of
+            # each other. The headline is max over valid pairs,
+            # clamped at 1.0 (strong-scaling efficiency > 1 is
+            # measurement error by definition), with headline_valid
+            # recording whether any condition-matched pair existed —
+            # when none did, the median pair ships clamped with
+            # headline_valid=false and the run should be retried
+            # (--scaling-only) in a quieter window. The in-artifact
+            # CPU/membw controls justify the estimator per run: when
+            # control_membw itself reads < 0.8, the DRAM ceiling — not
+            # the engine — bounds any single-socket measurement (a
+            # real N→4N cluster multiplies memory controllers too).
+            scaling.update(headline_from_pairs(scaling["samples"]))
             emit()
 
 
@@ -762,19 +844,33 @@ def run_streaming_section(artifact: dict, emit, t_start: float) -> None:
                 emit()
         if time.time() - t_start > 1900:
             break
-    # true window-emit latency on a live wall-clock feed (fresh JVM,
-    # latency-focused: 8 cores, small windows)
-    out = subprocess.run(
-        [sys.executable, __file__, "--live", "8"],
-        capture_output=True, text=True, timeout=600, cwd=str(REPO),
-        env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
-    )
-    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-    if lines:
-        live = json.loads(lines[-1])
-        artifact["streaming"]["emit_latency"] = live
-        artifact["streaming"]["emit_p50_ms"] = live.get("emit_p50_ms")
-        artifact["streaming"]["emit_p99_ms"] = live.get("emit_p99_ms")
+    # true window-emit latency on a live wall-clock feed (fresh JVM per
+    # config, latency-focused: 8 cores, small windows). A small
+    # window × watermark × trigger sweep (VERDICT r3 #7) characterizes
+    # the latency floor: emit latency ≈ watermark delay + trigger
+    # cadence + batch time by construction, so the sweep shows which
+    # term binds at each setting. The (5 s, 2 s, 500 ms) row is the
+    # headline (same config as r2/r3 for comparability).
+    grid = []
+    for win_s, wm_s, trig_ms in ((5, 2, 500), (5, 1, 250), (10, 2, 1000)):
+        out = subprocess.run(
+            [sys.executable, __file__, "--live", "8",
+             str(win_s), str(wm_s), str(trig_ms)],
+            capture_output=True, text=True, timeout=600, cwd=str(REPO),
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if lines:
+            live = json.loads(lines[-1])
+            grid.append(live)
+            if (win_s, wm_s, trig_ms) == (5, 2, 500):
+                artifact["streaming"]["emit_latency"] = live
+                artifact["streaming"]["emit_p50_ms"] = live.get("emit_p50_ms")
+                artifact["streaming"]["emit_p99_ms"] = live.get("emit_p99_ms")
+            emit()
+        if time.time() - t_start > 2600:
+            break
+    artifact["streaming"]["emit_latency_grid"] = grid
     emit()
 
 
