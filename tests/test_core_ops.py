@@ -257,3 +257,29 @@ def test_pipe_drop_regressions_fluent(spark):
     )
     # k=0: 5 kept, 3 regresses, 7 kept; k=1: 2 kept, duplicate 2 drops
     assert list(zip(got["k"], got["ts"])) == [(0, 5), (0, 7), (1, 2)]
+
+
+def test_drop_regressions_preserves_existing_prev_max_column(spark):
+    """An input that already carries a `_prev_max` column must survive
+    untouched (ADVICE r3: the temp column previously shadowed and then
+    dropped it)."""
+    pdf = pd.DataFrame(
+        {
+            "key": [1, 1, 1],
+            "ts": [10, 5, 20],
+            "arrival": [0, 1, 2],
+            "_prev_max": [7.0, 8.0, 9.0],
+        }
+    )
+    got = (
+        core.drop_regressions(
+            spark.createDataFrame(pdf), ["key"], "ts", ["arrival"]
+        )
+        .toPandas()
+        .sort_values("arrival")
+        .reset_index(drop=True)
+    )
+    assert "_prev_max" in got.columns
+    # ts=5 regresses after ts=10 → dropped; user column values intact
+    assert got["ts"].tolist() == [10, 20]
+    assert got["_prev_max"].tolist() == [7.0, 9.0]

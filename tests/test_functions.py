@@ -377,3 +377,30 @@ def test_dedup_keep_list_greedy(spark):
     assert not got[2]  # exact dup of 1
     assert not got[3]  # near dup of 1/2 (one token differs)
     assert got[4]      # unique
+
+
+def test_persisted_scope_releases_only_inner_entries(spark):
+    """persisted_scope unpersists the intermediates created inside the
+    block (after the caller's terminal action) and leaves pre-existing
+    registry entries alone (ADVICE r3: the registry otherwise grows
+    without bound in a long-lived session)."""
+    import pandas as pd
+
+    from pyspark import StorageLevel
+
+    dedup.unpersist_all()
+    outer = spark.createDataFrame(pd.DataFrame({"x": [1, 2]}))
+    dedup._track_persist(outer, StorageLevel.MEMORY_AND_DISK)
+    rows = [(i, f"document number {i} with shared words") for i in range(6)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    with dedup.persisted_scope():
+        keep = dedup.dedup_keep_list(
+            df, "doc_id", "text", threshold=0.5, minhash_k=16, bands=4,
+            rows_per_band=4,
+        )
+        n_inside = len(dedup._PERSISTED)
+        assert n_inside > 1  # keep_list persisted intermediates
+        keep.count()  # terminal action inside the scope
+    assert len(dedup._PERSISTED) == 1  # inner entries released
+    assert dedup._PERSISTED[0] is outer  # pre-existing entry untouched
+    assert dedup.unpersist_all() == 1

@@ -230,3 +230,35 @@ def test_nic_group_size_guard_fires(spark):
     )
     with pytest.raises(Exception, match="max_group_rows"):
         plan.collect()
+
+
+def test_nic_guard_no_false_positive_when_group_ends_in_next_batch(spark):
+    """The pre-concat guard must count only the rows that CONTINUE the
+    carried group: a large following group in the same Arrow batch must
+    not trip the cap (ADVICE r3 — the raise previously compared
+    len(carry)+len(batch) even when the carried group ended within the
+    batch's first rows)."""
+    import pandas as pd
+
+    from windflow_spark.operators.windows import grouped_apply_in_pandas
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        # one partition + 500-row Arrow batches force group 'a' (600
+        # rows) to straddle a batch boundary with group 'b' behind it
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": ["a"] * 600 + ["b"] * 600, "v": range(1200)})
+        )
+        out = grouped_apply_in_pandas(
+            df, ["k"],
+            lambda g: pd.DataFrame({"k": [g["k"].iloc[0]], "n": [len(g)]}),
+            "k string, n long",
+            max_group_rows=800,  # > either group, < carry + full batch
+        ).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+    assert dict(zip(out["k"], out["n"])) == {"a": 600, "b": 600}

@@ -17,6 +17,8 @@ exactly (Spark's hash() is engine-private; md5 is portable).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -52,6 +54,29 @@ def unpersist_all(blocking: bool = False) -> int:
         except Exception:
             pass
     return n
+
+
+@contextmanager
+def persisted_scope(blocking: bool = False):
+    """Scope the persist registry: intermediates persisted INSIDE the
+    block are unpersisted on exit (after the caller's terminal action),
+    so a long-lived session doesn't accumulate strong refs to every
+    plan this module ever cached. Pre-existing entries are untouched.
+
+        with dedup.persisted_scope():
+            keep = dedup.dedup_keep_list(docs, "doc_id", "text")
+            keep.write.parquet(out)   # terminal action inside the scope
+    """
+    mark = len(_PERSISTED)
+    try:
+        yield
+    finally:
+        while len(_PERSISTED) > mark:
+            df = _PERSISTED.pop()
+            try:
+                df.unpersist(blocking)
+            except Exception:
+                pass
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

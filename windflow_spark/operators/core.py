@@ -176,10 +176,15 @@ def drop_regressions(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prev_max = F.max(ord_c).over(w)
+    # collision-safe temp name: an input that already carries the temp
+    # column must not be overwritten-then-dropped
+    tmp = "_prev_max"
+    while tmp in df.columns:
+        tmp += "_"
     return (
-        df.withColumn("_prev_max", prev_max)
-        .filter(F.col("_prev_max").isNull() | (ord_c > F.col("_prev_max")))
-        .drop("_prev_max")
+        df.withColumn(tmp, prev_max)
+        .filter(F.col(tmp).isNull() | (ord_c > F.col(tmp)))
+        .drop(tmp)
     )
 
 

@@ -158,14 +158,23 @@ def grouped_apply_in_pandas(
         for pdf in batches:
             if carry is not None and len(carry):
                 if len(carry) + len(pdf) > max_group_rows:
-                    raise RuntimeError(
-                        f"NIC group {tuple(carry[c].iloc[0] for c in cols)} "
-                        f"exceeds max_group_rows={max_group_rows}: a "
-                        "non-incremental UDF must hold the whole window on "
-                        "one worker (reference win_seq.hpp:26-29). Use an "
-                        "INC aggregate or pane/win_mapreduce decomposition "
-                        "for windows this large, or raise max_group_rows."
-                    )
+                    # only rows that CONTINUE carry's group count toward
+                    # the cap — the carried group may end within the
+                    # first few rows of this batch (groups are
+                    # contiguous after the sort, so the continuation is
+                    # the leading equal-key prefix)
+                    pmask = pd.Series(True, index=pdf.index)
+                    for c in cols:
+                        pmask &= pdf[c] == carry[c].iloc[0]
+                    if len(carry) + int(pmask.sum()) > max_group_rows:
+                        raise RuntimeError(
+                            f"NIC group {tuple(carry[c].iloc[0] for c in cols)} "
+                            f"exceeds max_group_rows={max_group_rows}: a "
+                            "non-incremental UDF must hold the whole window on "
+                            "one worker (reference win_seq.hpp:26-29). Use an "
+                            "INC aggregate or pane/win_mapreduce decomposition "
+                            "for windows this large, or raise max_group_rows."
+                        )
                 pdf = pd.concat([carry, pdf], ignore_index=True)
                 carry = None
             if not len(pdf):
