@@ -508,20 +508,11 @@ def q_streaming_cb(spark, sf_dir):
     arrival index drives tumbling count windows; fired == full windows
     (Triggerer_CB). Ids are renumbered upstream (batch row_number →
     temp parquet → stream), the TS_RENUMBERING pattern."""
-    import tempfile
     import uuid
 
     from windflow_spark.streaming import engine as se
 
-    ids = cb_ids(
-        _events(spark, sf_dir), ["user_id"], [F.col("ts"), F.col("event_id")]
-    ).select(
-        F.col("user_id").cast("string").alias("user_key"), "wf_id", "value"
-    )
-    tmp = tempfile.mkdtemp(prefix="wf_gate_cb_")
-    ids.coalesce(1).write.mode("overwrite").parquet(tmp)
-    schema = spark.read.parquet(tmp).schema
-    src = se.stream_source(spark, tmp, schema)
+    src = _renumbered_ids_stream(spark, sf_dir, "wf_gate_cb_")
     out = se.stream_cb_windows(src, "user_key", "wf_id", "value", WinSpec("cb", 10, 10))
     name = f"gate_stream_cb_{uuid.uuid4().hex[:8]}"
     res = se.run_to_memory(out, name, spark, output_mode="append")
@@ -645,20 +636,11 @@ def q_streaming_accumulate(spark, sf_dir):
     accumulator.hpp:157-192): running (sum, cnt) after EVERY tuple on
     the drained stream == the windowed running aggregate oracle.
     Ids renumbered upstream (TS_RENUMBERING) as in streaming_cb."""
-    import tempfile
     import uuid
 
     from windflow_spark.streaming import engine as se
 
-    ids = cb_ids(
-        _events(spark, sf_dir), ["user_id"], [F.col("ts"), F.col("event_id")]
-    ).select(
-        F.col("user_id").cast("string").alias("user_key"), "wf_id", "value"
-    )
-    tmp = tempfile.mkdtemp(prefix="wf_gate_acc_")
-    ids.coalesce(1).write.mode("overwrite").parquet(tmp)
-    schema = spark.read.parquet(tmp).schema
-    src = se.stream_source(spark, tmp, schema)
+    src = _renumbered_ids_stream(spark, sf_dir, "wf_gate_acc_")
     out = se.stream_accumulate(src, "user_key", "wf_id", "value")
     name = f"gate_stream_acc_{uuid.uuid4().hex[:8]}"
     res = se.run_to_memory(out, name, spark, output_mode="append")
@@ -702,6 +684,96 @@ def q_streaming_interval_join(spark, sf_dir):
     )
     name = f"gate_stream_ij_{uuid.uuid4().hex[:8]}"
     return se.run_to_memory(out, name, spark, output_mode="append")
+
+
+def q_streaming_sliding(spark, sf_dir):
+    """Streaming TB SLIDING windows (win > slide — the reference's core
+    Win_Farm case, win_farm.hpp:54-579): native F.window handles
+    slide ≤ win directly, one watermarked stateful aggregate; drained
+    complete == the batch sliding oracle INCLUDING trailing partial
+    windows (complete mode emits everything in state at EOS)."""
+    import uuid
+
+    from windflow_spark.streaming import engine as se
+
+    src = _staged_events_stream(spark, sf_dir)
+    out = se.stream_win_tb(
+        src, ["event_type"], "ts", WinSpec("tb", 3600, 900),
+        aggs={"cnt": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)},
+        watermark="1 hour", unit="second",
+    )
+    name = f"gate_stream_slide_{uuid.uuid4().hex[:8]}"
+    res = se.run_to_memory(out, name, spark, output_mode="complete")
+    return res.select(
+        "event_type", "gwid", "cnt", "sum_value",
+        (F.col("gwid") * MIN15 + HOUR - 1).cast("long").alias("win_end"),
+    )
+
+
+def _renumbered_ids_stream(spark, sf_dir, prefix):
+    """Per-user renumbered (TS_RENUMBERING) id stream staged to parquet
+    — shared by the CB streaming gates."""
+    import tempfile
+
+    from windflow_spark.streaming import engine as se
+
+    ids = cb_ids(
+        _events(spark, sf_dir), ["user_id"], [F.col("ts"), F.col("event_id")]
+    ).select(
+        F.col("user_id").cast("string").alias("user_key"), "wf_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    ids.coalesce(1).write.mode("overwrite").parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+    return se.stream_source(spark, tmp, schema)
+
+
+def q_streaming_cb_sliding(spark, sf_dir):
+    """Streaming CB SLIDING windows (win=16, slide=4 — each tuple in up
+    to 4 open windows): the stateful processor's wid-explosion fold at
+    a spec where windows genuinely overlap; fired == the windows whose
+    last tuple (id = gwid*4+15) arrived (Triggerer_CB)."""
+    import uuid
+
+    from windflow_spark.streaming import engine as se
+
+    src = _renumbered_ids_stream(spark, sf_dir, "wf_gate_cbsl_")
+    out = se.stream_cb_windows(
+        src, "user_key", "wf_id", "value", WinSpec("cb", 16, 4)
+    )
+    name = f"gate_stream_cbsl_{uuid.uuid4().hex[:8]}"
+    res = se.run_to_memory(out, name, spark, output_mode="append")
+    return res.select(
+        "user_key", "gwid", F.round("sum_value", 4).alias("sum_value"),
+        "cnt", "win_end",
+    )
+
+
+def q_streaming_cb_eos(spark, sf_dir):
+    """EOS partial-window flush (the reference's eosnotify,
+    win_seq.hpp:432-474): drain CB windows availableNow into a parquet
+    sink with an explicit checkpoint, then read the still-open windows
+    back from the checkpoint's STATE STORE (statestore data source)
+    and finalize them — fired ∪ flushed == the batch aggregate
+    INCLUDING partial windows. Every user's stream is truncated
+    mid-window unless its length is ≡ 0 (mod 10), so the flush carries
+    real weight in the hash."""
+    import tempfile
+
+    from windflow_spark.streaming import engine as se
+
+    src = _renumbered_ids_stream(spark, sf_dir, "wf_gate_cbeos_")
+    spec = WinSpec("cb", 10, 10)
+    out = se.stream_cb_windows(src, "user_key", "wf_id", "value", spec)
+    work = tempfile.mkdtemp(prefix="wf_gate_cbeos_io_")
+    sink, ckpt = f"{work}/sink", f"{work}/ckpt"
+    se.run_available_now(out, sink, ckpt, timeout_sec=600)
+    fired = spark.read.parquet(sink)
+    flushed = se.flush_cb_partials(spark, ckpt, "user_key", spec, value_col="value")
+    return fired.unionByName(flushed).select(
+        "user_key", "gwid", F.round("sum_value", 4).alias("sum_value"),
+        "cnt", "win_end",
+    )
 
 
 def q_multimodal_frames(spark, sf_dir):
@@ -813,6 +885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_accumulate": q_streaming_accumulate,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_topk": q_streaming_topk,
+        "streaming_sliding": q_streaming_sliding,
+        "streaming_cb_sliding": q_streaming_cb_sliding,
+        "streaming_cb_eos": q_streaming_cb_eos,
         "multimodal_frames": q_multimodal_frames,
     }
 
@@ -1249,6 +1324,47 @@ def oracle_sql() -> dict[str, str]:
           FROM ids i JOIN mx ON i.user_key = mx.user_key
           GROUP BY i.user_key, wf_id // 10)
         SELECT user_key, gwid, sum_value, cnt, win_end FROM agg WHERE win_end <= m
+    """
+    sql["streaming_sliding"] = f"""
+        WITH wids AS (
+          SELECT event_type, value,
+                 unnest(generate_series(
+                   greatest(0, cast(floor((epoch_us(ts) - {hour})/{min15}.0) AS BIGINT) + 1),
+                   cast(floor(epoch_us(ts)/{min15}.0) AS BIGINT))) AS gwid
+          FROM events)
+        SELECT event_type, gwid, count(*) AS cnt, round(sum(value), 4) AS sum_value,
+               gwid*{min15} + {hour} - 1 AS win_end
+        FROM wids GROUP BY 1, 2
+    """
+    sql["streaming_cb_sliding"] = """
+        WITH ids AS (
+          SELECT user_id::VARCHAR AS user_key, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS wf_id
+          FROM events),
+        mx AS (SELECT user_key, max(wf_id) AS m FROM ids GROUP BY 1),
+        wins AS (
+          SELECT user_key, value,
+                 unnest(generate_series(
+                   greatest(0, cast(floor((wf_id - 16)/4.0) AS BIGINT) + 1),
+                   wf_id // 4)) AS gwid
+          FROM ids),
+        agg AS (
+          SELECT w.user_key, gwid, round(sum(value), 4) AS sum_value,
+                 count(*) AS cnt, gwid * 4 + 15 AS win_end, max(mx.m) AS m
+          FROM wins w JOIN mx ON w.user_key = mx.user_key
+          GROUP BY w.user_key, gwid)
+        SELECT user_key, gwid, sum_value, cnt, win_end FROM agg WHERE win_end <= m
+    """
+    # EOS flush: same aggregate as streaming_cb WITHOUT the fired-only
+    # filter — partial windows (the flush) are part of the result
+    sql["streaming_cb_eos"] = """
+        WITH ids AS (
+          SELECT user_id::VARCHAR AS user_key, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS wf_id
+          FROM events)
+        SELECT user_key, wf_id // 10 AS gwid, round(sum(value), 4) AS sum_value,
+               count(*) AS cnt, (wf_id // 10) * 10 + 9 AS win_end
+        FROM ids GROUP BY user_key, wf_id // 10
     """
     sql["streaming_hopping"] = f"""
         SELECT event_type, cast(floor(epoch_us(ts)/{hour}.0) AS BIGINT) AS gwid,

@@ -657,3 +657,44 @@ def test_cb_fold_rejects_nan_values():
     assert fired == [(0, 4.0, 4, 3)]
     with pytest.raises(ValueError, match="NaN"):
         fold(np.arange(4), {"v": np.array([1.0, np.nan, 1.0, 1.0])}, {})
+
+
+def test_stream_cb_eos_flush_restores_batch_parity(spark, tx_path, tdir):
+    """EOS partial-window flush (win_seq.hpp:432-474 eosnotify): after
+    an availableNow drain, flush_cb_partials reads the still-open
+    windows back from the checkpoint's state store and finalizes them —
+    fired ∪ flushed == the batch win_seq result INCLUDING partial
+    windows, across the full sum/count/min/max/mean registry and a
+    sliding spec (every open window of every key, not just the last)."""
+    schema = _schema(spark, tx_path)
+    src = se.stream_source(spark, tx_path, schema, max_files_per_trigger=1)
+    spec = WinSpec("cb", 10, 5)
+    aggs = {
+        "s": ("sum", "text_len"), "c": ("count", None),
+        "mn": ("min", "text_len"), "mx": ("max", "text_len"),
+        "avg": ("mean", "text_len"),
+    }
+    stream = se.stream_cb_windows(
+        src.withColumn("text_len", F.length("text").cast("double")),
+        "conv_id", "turn_idx", None, spec, aggs=aggs,
+    )
+    sink = str(tdir / "cb_eos_sink")
+    ckpt = str(tdir / "cb_eos_ckpt")
+    se.run_available_now(stream, sink, ckpt, timeout_sec=300)
+    fired = spark.read.parquet(sink)
+    flushed = se.flush_cb_partials(spark, ckpt, "conv_id", spec, aggs=aggs)
+    assert flushed.count() > 0  # truncated streams leave open windows
+    got = fired.unionByName(flushed).toPandas()
+    batch = spark.read.parquet(tx_path).withColumn(
+        "text_len", F.length("text").cast("double")
+    )
+    want = win_seq(  # batch emits partials at EOS — full parity target
+        batch, ["conv_id"], "turn_idx", spec,
+        aggs={
+            "s": F.sum("text_len"), "c": F.count(F.lit(1)),
+            "mn": F.min("text_len"), "mx": F.max("text_len"),
+            "avg": F.avg("text_len"),
+        },
+    ).toPandas()
+    cols = ["conv_id", "gwid", "s", "c", "mn", "mx", "avg", "win_end"]
+    assert_frames_equal(got[cols], want[cols], ["conv_id", "gwid"])

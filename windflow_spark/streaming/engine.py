@@ -12,9 +12,11 @@ Same plan shapes as the batch operators, over ``readStream``:
 - stream-stream correlation join → watermarked interval equi-join
   (StreamingSymmetricHashJoin);
 - exactly-once sink → file/parquet sink with checkpointed manifest;
-  ``availableNow`` trigger drains the backlog and stops (the EOS flush
-  of includes/win_seq.hpp:432-474: remaining windows emitted when the
-  watermark advances past them / on final commit).
+  ``availableNow`` trigger drains the backlog and stops; the EOS flush
+  of includes/win_seq.hpp:432-474 (partial windows emitted when the
+  stream ends) is ``flush_cb_partials`` — a state-store data-source
+  read over the drain's checkpoint that finalizes the still-open
+  windows the processor left in state.
 
 Watermark semantics vs the reference: the reference DROPS any per-key
 ts regression (includes/win_seq.hpp:289-305); Spark drops only below
@@ -299,7 +301,9 @@ def stream_cb_windows(
     [max(0, floor((i-win)/slide)+1), floor(i/slide)]; window w fires
     (is emitted) when its last tuple (id == w*slide+win-1) arrives —
     Triggerer_CB (includes/window.hpp:49-67). Partial windows remain in
-    state; batch-mode covers the EOS partial flush.
+    state; after a drain, ``flush_cb_partials`` reads them back from
+    the checkpoint and emits them (the reference's eosnotify flush,
+    win_seq.hpp:432-474 — batch mode gets the same flush for free).
 
     ``aggs`` — {out_col: (op, in_col)} with op from sum/count/min/max/
     mean (the decomposable-fold registry ``_CB_OPS``; the streaming
@@ -411,6 +415,73 @@ def stream_cb_windows(
         .applyInPandasWithState(
             proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
+    )
+
+
+def flush_cb_partials(
+    spark: SparkSession,
+    checkpoint: str,
+    key: str,
+    spec: WinSpec,
+    aggs: dict[str, tuple[str, str | None]] | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """EOS flush of still-open CB windows after a drain — the
+    reference's ``eosnotify`` partial-window emission
+    (includes/win_seq.hpp:432-474): when the stream ends, every window
+    that never saw its last tuple is computed over what it DID see and
+    emitted. The batch path gets this for free; a streaming
+    ``availableNow`` drain leaves those windows in the state store —
+    this reads them back and finalizes them.
+
+    Spark-first shape: the state-store DATA SOURCE
+    (``spark.read.format("statestore")``) reads the checkpoint's last
+    committed state snapshot as a DataFrame — and because
+    ``stream_cb_windows`` pops a window from state the moment it fires,
+    whatever remains in ``(wids, parts)`` IS exactly the set of partial
+    windows. Finalization is pure Catalyst over the slot arrays (the
+    same ``_CB_OPS`` registry layout the processor wrote), so the flush
+    is a distributed scan + projection: no replay, no Python, no
+    driver-side state walk — it scales with state size, not stream
+    length.
+
+    Returns the same schema as ``stream_cb_windows`` (key, gwid,
+    aggs..., win_end); union with the drained sink for reference
+    parity on truncated streams. Run AFTER the drain query has stopped
+    (the reader takes the latest committed version).
+    """
+    if aggs is None:
+        if value_col is None:
+            raise ValueError("value_col or aggs required")
+        aggs = {"sum_value": ("sum", value_col), "cnt": ("count", None)}
+    st = spark.read.format("statestore").option("path", checkpoint).load()
+    gs = st.select(
+        F.col(f"key.{key}").alias(key),
+        F.col("value.groupState.wids").alias("wids"),
+        F.col("value.groupState.parts").alias("parts"),
+    )
+    ex = gs.select(
+        key, F.explode(F.arrays_zip("wids", "parts")).alias("z")
+    ).select(
+        key,
+        F.col("z.wids").alias(GWID),
+        F.col("z.parts").alias("_p"),
+    )
+    out_cols, pos = [], 0
+    for name, (op, _c) in aggs.items():
+        n_slots, _k, _m, _f, sql_t = _CB_OPS[op]
+        col = (
+            F.col("_p")[pos] / F.col("_p")[pos + 1]
+            if op == "mean"
+            else F.col("_p")[pos]
+        )
+        out_cols.append(col.cast(sql_t).alias(name))
+        pos += n_slots
+    return ex.select(
+        key,
+        GWID,
+        *out_cols,
+        (F.col(GWID) * spec.slide + spec.win - 1).cast("long").alias("win_end"),
     )
 
 
