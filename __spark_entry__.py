@@ -309,6 +309,56 @@ def q_win_topk(spark, sf_dir):
     )
 
 
+def q_win_topk_pane(spark, sf_dir):
+    """EXACT sliding-window top-k via pane pre-top-k (the constructive
+    NIC-at-scale route, pane_farm.hpp:26-31 pane reuse applied to an
+    algebraic holistic aggregate): raw rows shrink to ≤ k structs per
+    (key, pane) before the (key, gwid) exchange — 2 exchanges, zero
+    Python, no window-explosion of raw rows. Value DESC, event_id ASC
+    tiebreak, same as the oracle's row_number."""
+    from windflow_spark.operators.pane_farm import pane_topk
+
+    ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
+    return pane_topk(
+        ev, ["event_type"], "us", WinSpec("tb", 6 * HOUR, 6 * MIN15),
+        order_col="value", id_col="event_id", k=3,
+    ).select("event_type", "gwid", "rnk", "event_id", "value")
+
+
+def q_win_quantile(spark, sf_dir):
+    """Windowed MEDIAN with bounded error via mergeable pane histograms
+    (the quantile arm of the constructive NIC route): pane_quantile's
+    lower bucket edge must bracket the exact discrete median within
+    one bucket_width — emitted as a claim (err_ok), HLL-gate style,
+    with the exact side computed engine-side from the window archive.
+    A broken pane/histogram/fold plan drifts est and flips err_ok."""
+    from windflow_spark.operators.pane_farm import pane_quantile
+    from windflow_spark.operators.windows import assign_wids
+
+    width = 25.0
+    spec = WinSpec("tb", 6 * HOUR, 6 * MIN15)
+    ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
+    est = pane_quantile(ev, ["event_type"], "us", spec, "value", 0.5, width)
+    exact = (
+        assign_wids(ev, "us", spec)
+        .groupBy("event_type", "gwid")
+        .agg(F.sort_array(F.collect_list("value")).alias("_vs"))
+        .select(
+            "event_type", "gwid",
+            F.element_at(
+                "_vs", F.ceil(F.lit(0.5) * F.size("_vs")).cast("int")
+            ).alias("_exact"),
+        )
+    )
+    return est.join(exact, ["event_type", "gwid"]).select(
+        "event_type", "gwid", "cnt",
+        (
+            (F.col("_exact") >= F.col("est"))
+            & (F.col("_exact") < F.col("est") + F.lit(width))
+        ).alias("err_ok"),
+    )
+
+
 def q_win_count_distinct(spark, sf_dir):
     """Exact windowed COUNT(DISTINCT user_id) via the two-level
     pre-distinct form (the distinct-agg skew fix)."""
@@ -855,6 +905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ysb_pipeline": q_ysb_pipeline,
         "topk_per_key": q_topk_per_key,
         "win_topk": q_win_topk,
+        "win_topk_pane": q_win_topk_pane,
+        "win_quantile": q_win_quantile,
         "win_count_distinct": q_win_count_distinct,
         "cube_agg": q_cube_agg,
         "rollup_agg": q_rollup_agg,
@@ -1095,6 +1147,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, cast(floor(epoch_us(ts)/21600000000.0) AS BIGINT) AS gwid,
                count(DISTINCT user_id) AS n_distinct
         FROM events GROUP BY 1, 2
+    """
+    # sliding 6h/90min windows for the pane-decomposed NIC routes
+    _slide6 = 6 * min15
+    sql["win_topk_pane"] = f"""
+        WITH wids AS (
+          SELECT event_type, event_id, value,
+                 unnest(generate_series(
+                   greatest(0, cast(floor((epoch_us(ts) - {6 * hour})/{_slide6}.0) AS BIGINT) + 1),
+                   cast(floor(epoch_us(ts)/{_slide6}.0) AS BIGINT))) AS gwid
+          FROM events)
+        SELECT event_type, gwid, rnk, event_id, value FROM (
+          SELECT event_type, gwid, event_id, value,
+                 row_number() OVER (PARTITION BY event_type, gwid
+                                    ORDER BY value DESC, event_id ASC) AS rnk
+          FROM wids) WHERE rnk <= 3
+    """
+    # claim oracle (HLL-gate style): the engine asserts its histogram
+    # estimate brackets the exact discrete median; the oracle
+    # reproduces the exact window population and the literal claim
+    sql["win_quantile"] = f"""
+        WITH wids AS (
+          SELECT event_type, value,
+                 unnest(generate_series(
+                   greatest(0, cast(floor((epoch_us(ts) - {6 * hour})/{_slide6}.0) AS BIGINT) + 1),
+                   cast(floor(epoch_us(ts)/{_slide6}.0) AS BIGINT))) AS gwid
+          FROM events)
+        SELECT event_type, gwid, count(*) AS cnt, true AS err_ok
+        FROM wids GROUP BY 1, 2
     """
     sql["cube_agg"] = """
         SELECT l_returnflag, l_linestatus, count(*) AS cnt,

@@ -120,3 +120,41 @@ def test_stateless_chain_fuses(spark, events):
     )
     assert audit.count_exchanges(df) == 0
     assert audit.wholestage_span_count(df) <= 1, audit.physical_plan(df)
+
+
+def test_pane_topk_two_exchanges_no_python(spark, events):
+    """The constructive NIC route (pane pre-top-k) must keep its scale
+    shape: raw rows shrink to <= k structs per (key, pane) in the first
+    hash aggregate, only pane partials reach the (key, gwid) exchange —
+    2 exchanges total and ZERO Python eval nodes (the whole point vs
+    the mapInPandas NIC archive)."""
+    from windflow_spark.operators.pane_farm import pane_topk
+
+    df = pane_topk(
+        events.withColumn("us", epoch_us("ts")), ["event_type"], "us",
+        WinSpec("tb", 21_600_000_000, 5_400_000_000),
+        order_col="value", id_col="event_id", k=3,
+    )
+    plan = audit.physical_plan(df)
+    assert audit.count_exchanges(df) == 2, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, plan
+
+
+def test_pane_quantile_two_exchanges_no_python(spark, events):
+    """Quantile arm of the constructive NIC route: pane histograms are
+    the only thing shuffled to windows; the threshold scan is a
+    Catalyst aggregate fold — 2 exchanges, zero Python eval nodes."""
+    from windflow_spark.operators.pane_farm import pane_quantile
+
+    df = pane_quantile(
+        events.withColumn("us", epoch_us("ts")), ["event_type"], "us",
+        WinSpec("tb", 21_600_000_000, 5_400_000_000),
+        "value", 0.5, 25.0,
+    )
+    plan = audit.physical_plan(df)
+    assert audit.count_exchanges(df) == 2, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, plan

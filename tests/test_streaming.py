@@ -621,6 +621,37 @@ def test_stream_cb_tws_matches_classic(spark, tx_path):
     assert_frames_equal(tws, classic, ["conv_id", "gwid"])
 
 
+def test_stream_cb_tws_general_aggs_match_classic(spark, tx_path):
+    """The TWS path takes the same aggs registry as the classic path
+    (VERDICT r3 #5): a non-default sum/count/min/max/mean set produces
+    identical fired windows on both implementations."""
+    if not se.tws_available():
+        pytest.skip("protobuf runtime absent — TWS unavailable in this container")
+    schema = _schema(spark, tx_path)
+    spec = WinSpec("cb", 10, 5)
+    aggs = {
+        "s": ("sum", "text_len"), "c": ("count", None),
+        "mn": ("min", "text_len"), "mx": ("max", "text_len"),
+        "avg": ("mean", "text_len"),
+    }
+
+    def build(fn):
+        src = se.stream_source(spark, tx_path, schema, max_files_per_trigger=1)
+        return fn(
+            src.withColumn("text_len", F.length("text").cast("double")),
+            "conv_id", "turn_idx", None, spec, aggs=aggs,
+        )
+
+    classic = se.run_to_memory(
+        build(se.stream_cb_windows), "t_cb_classic3", spark, output_mode="append"
+    ).toPandas()
+    tws = se.run_to_memory(
+        build(se.stream_cb_windows_tws), "t_cb_tws2", spark, output_mode="append"
+    ).toPandas()
+    assert len(tws) == len(classic) > 0
+    assert_frames_equal(tws, classic, ["conv_id", "gwid"])
+
+
 def test_ordered_streaming_emission(spark, tx_path, tdir):
     """WF_Collector in streaming: per-batch sorted parquet emission;
     per-key gwids arrive consecutive from 0 (sum_cb.hpp:142-153)."""

@@ -262,3 +262,77 @@ def test_nic_guard_no_false_positive_when_group_ends_in_next_batch(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
     assert dict(zip(out["k"], out["n"])) == {"a": 600, "b": 600}
+
+
+def test_pane_topk_exact_vs_brute_force(spark):
+    """pane_topk == per-window row_number brute force, including the
+    value-DESC / id-ASC tiebreak — pane pre-top-k is lossless because
+    a window-top-k element is necessarily in its pane's top-k."""
+    import numpy as np
+    import pandas as pd
+
+    from windflow_spark.operators.pane_farm import pane_topk
+
+    rng = np.random.default_rng(3)
+    n = 1500
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 3, n).astype(str),
+        "t": rng.integers(0, 400, n).astype(np.int64),
+        "id": np.arange(n, dtype=np.int64),
+        # duplicate values on purpose: exercises the id tiebreak
+        "v": np.round(rng.normal(50, 30, n), 1),
+    })
+    got = pane_topk(
+        spark.createDataFrame(pdf), ["k"], "t", WinSpec("tb", 64, 16),
+        order_col="v", id_col="id", k=3,
+    ).toPandas()
+    rows = []
+    for _, r in pdf.iterrows():
+        first = max(0, (r["t"] - 64) // 16 + 1)
+        for w in range(int(first), int(r["t"] // 16) + 1):
+            rows.append((r["k"], w, r["id"], r["v"]))
+    ex = pd.DataFrame(rows, columns=["k", "gwid", "id", "v"]).sort_values(
+        ["k", "gwid", "v", "id"], ascending=[True, True, False, True]
+    )
+    ex["rnk"] = ex.groupby(["k", "gwid"]).cumcount() + 1
+    want = ex[ex["rnk"] <= 3][["k", "gwid", "rnk", "id", "v"]]
+    assert_frames_equal(got, want, ["k", "gwid", "rnk"])
+
+
+def test_pane_quantile_brackets_exact_discrete_quantile(spark):
+    """pane_quantile's lower bucket edge brackets the exact type-1
+    quantile within one bucket_width on EVERY window, and the merged
+    counts are exact."""
+    import numpy as np
+    import pandas as pd
+
+    from windflow_spark.operators.pane_farm import pane_quantile
+
+    rng = np.random.default_rng(7)
+    n = 1500
+    width = 10.0
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 3, n).astype(str),
+        "t": rng.integers(0, 400, n).astype(np.int64),
+        # negative values included: floor-bucket math must hold
+        "v": np.round(rng.normal(20, 40, n), 3),
+    })
+    got = pane_quantile(
+        spark.createDataFrame(pdf), ["k"], "t", WinSpec("tb", 64, 16),
+        "v", 0.5, width,
+    ).toPandas()
+    rows = []
+    for _, r in pdf.iterrows():
+        first = max(0, (r["t"] - 64) // 16 + 1)
+        for w in range(int(first), int(r["t"] // 16) + 1):
+            rows.append((r["k"], w, r["v"]))
+    ex = pd.DataFrame(rows, columns=["k", "gwid", "v"])
+    exact = ex.groupby(["k", "gwid"])["v"].apply(
+        lambda s: sorted(s)[int(np.ceil(0.5 * len(s))) - 1]
+    ).reset_index(name="exact")
+    cnt = ex.groupby(["k", "gwid"]).size().reset_index(name="cnt_x")
+    m = got.merge(exact, on=["k", "gwid"], how="outer").merge(
+        cnt, on=["k", "gwid"], how="outer")
+    assert not m.isna().any().any()  # same window set, no gaps
+    assert (m["cnt"] == m["cnt_x"]).all()
+    assert ((m["exact"] >= m["est"]) & (m["exact"] < m["est"] + width)).all()

@@ -74,9 +74,16 @@ def verify_tws(spark) -> str:
     schema = spark.read.parquet(src_dir).schema
     spec = WinSpec("cb", 8, 4)
 
+    # non-default agg set: exercises the generalized aggs= passthrough
+    # on the TWS path (VERDICT r3 #5), not just the classic default
+    aggs = {
+        "s": ("sum", "v"), "c": ("count", None),
+        "mn": ("min", "v"), "mx": ("max", "v"), "avg": ("mean", "v"),
+    }
+
     def run(fn, name):
         src = se.stream_source(spark, src_dir, schema)
-        out = fn(src, "k", "i", "v", spec)
+        out = fn(src, "k", "i", None, spec, aggs=aggs)
         return (
             se.run_to_memory(out, name, spark, output_mode="append")
             .toPandas()
@@ -87,7 +94,7 @@ def verify_tws(spark) -> str:
     classic = run(se.stream_cb_windows, "cv_classic")
     tws = run(se.stream_cb_windows_tws, "cv_tws")
     if len(classic) and classic.equals(tws):
-        return f"PASS tws_cb_parity ({len(classic)} rows)"
+        return f"PASS tws_cb_parity ({len(classic)} rows, aggs={sorted(aggs)})"
     return f"FAIL tws_cb_parity: classic={len(classic)} rows, tws={len(tws)} rows"
 
 

@@ -172,8 +172,10 @@ def grouped_apply_in_pandas(
                             f"exceeds max_group_rows={max_group_rows}: a "
                             "non-incremental UDF must hold the whole window on "
                             "one worker (reference win_seq.hpp:26-29). Use an "
-                            "INC aggregate or pane/win_mapreduce decomposition "
-                            "for windows this large, or raise max_group_rows."
+                            "INC aggregate, pane_farm.pane_topk / "
+                            "pane_quantile (constructive decompositions "
+                            "for algebraic holistic aggs), or raise "
+                            "max_group_rows."
                         )
                 pdf = pd.concat([carry, pdf], ignore_index=True)
                 carry = None
@@ -189,9 +191,10 @@ def grouped_apply_in_pandas(
                     f"NIC group {tuple(last[c] for c in cols)} exceeds "
                     f"max_group_rows={max_group_rows}: a non-incremental "
                     "UDF must hold the whole window on one worker "
-                    "(reference win_seq.hpp:26-29). Use an INC aggregate "
-                    "or pane/win_mapreduce decomposition for windows this "
-                    "large, or raise max_group_rows."
+                    "(reference win_seq.hpp:26-29). Use an INC aggregate, "
+                    "pane_farm.pane_topk / pane_quantile (constructive "
+                    "decompositions for algebraic holistic aggs), or "
+                    "raise max_group_rows."
                 )
             head = pdf[~mask]
             if len(head):

@@ -674,15 +674,26 @@ def stream_cb_windows_tws(
     df: DataFrame,
     key: str,
     id_col: str,
-    value_col: str,
+    value_col: str | None,
     spec: WinSpec,
+    aggs: dict[str, tuple[str, str | None]] | None = None,
 ) -> DataFrame:
     """Count-based windows on the transformWithStateInPandas API
     (Spark 4.x successor of applyInPandasWithState): typed per-key
-    ValueState, Arrow-batched input, same Triggerer_CB fire rule as
-    stream_cb_windows. Kept alongside the classic implementation —
-    parity-tested against it — as the forward path (timers enable
-    future EOS flush of partial windows in continuous mode)."""
+    ValueState, Arrow-batched input, same Triggerer_CB fire rule and
+    the same ``aggs`` registry contract as stream_cb_windows (the two
+    paths share the ``_make_cb_fold`` kernel and state slot layout, so
+    they stay interchangeable). Kept alongside the classic
+    implementation — parity-tested against it — as the forward path
+    (timers enable future EOS flush of partial windows in continuous
+    mode).
+
+    State-format note: since r4 the value state is the generic
+    (wids array<long>, parts array<array<double>>) slot layout — a
+    checkpoint written by the r2-era (wids, sums, cnts) schema does NOT
+    resume against this version (state-schema validation fails);
+    restart the query with a fresh checkpoint. Count slots travel as
+    doubles inside the parts arrays (exact to 2^53 rows per window)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -696,10 +707,20 @@ def stream_cb_windows_tws(
 
     import numpy as np
 
+    if aggs is None:
+        if value_col is None:
+            raise ValueError("value_col or aggs required")
+        aggs = {"sum_value": ("sum", value_col), "cnt": ("count", None)}
+    for name, (op, _c) in aggs.items():
+        if op not in _CB_OPS:
+            raise ValueError(f"agg {name!r}: unknown op {op!r} (have {sorted(_CB_OPS)})")
     win, slide = spec.win, spec.slide
-    out_schema = f"{key} string, gwid long, sum_value double, cnt long, win_end long"
-    aggs = {"sum_value": ("sum", value_col), "cnt": ("count", None)}
-    fold = _make_cb_fold(win, slide, aggs, [value_col])
+    in_cols = sorted({c for _, c in aggs.values() if c is not None})
+    out_cols = ", ".join(
+        f"{n} {_CB_OPS[op][4]}" for n, (op, _c) in aggs.items()
+    )
+    out_schema = f"{key} string, gwid long, {out_cols}, win_end long"
+    fold = _make_cb_fold(win, slide, aggs, in_cols)
 
     class CBWindows(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -724,7 +745,7 @@ def stream_cb_windows_tws(
                 if not len(pdf):
                     continue
                 ids = pdf[id_col].to_numpy(dtype=np.int64)
-                vals = {value_col: pdf[value_col].to_numpy(dtype=np.float64)}
+                vals = {c: pdf[c].to_numpy(dtype=np.float64) for c in in_cols}
                 order = np.argsort(ids, kind="stable")
                 fired += fold(
                     ids[order], {c: v[order] for c, v in vals.items()}, open_w
@@ -739,7 +760,7 @@ def stream_cb_windows_tws(
             if fired:
                 yield pd.DataFrame(
                     [(k[0], *row) for row in sorted(fired)],
-                    columns=[key, "gwid", "sum_value", "cnt", "win_end"],
+                    columns=[key, "gwid", *aggs.keys(), "win_end"],
                 )
 
         def close(self) -> None:
