@@ -27,6 +27,8 @@ SHOW = [
     "win_topk",
     "win_count_distinct",
     "ooo_drop",
+    "win_topk_pane",
+    "win_quantile",
 ]
 
 
