@@ -826,6 +826,39 @@ def q_streaming_cb_eos(spark, sf_dir):
     )
 
 
+def q_streaming_tb_eos(spark, sf_dir):
+    """TB arm of the eosnotify flush on the PRODUCTION sink path: an
+    append-mode availableNow drain into a parquet sink emits only
+    windows the watermark passed — every trailing window stays in the
+    aggregation state. flush_tb_partials reads them back from the
+    checkpoint (aggregation buffers, positional struct cast) and
+    emitted ∪ flushed == the batch sliding aggregate, same oracle as
+    streaming_sliding."""
+    import tempfile
+
+    from windflow_spark.streaming import engine as se
+
+    src = _staged_events_stream(spark, sf_dir)
+    spec = WinSpec("tb", 3600, 900)
+    out = se.stream_win_tb(
+        src, ["event_type"], "ts", spec,
+        aggs={"cnt": F.count(F.lit(1)), "sum_value": F.sum("value")},
+        watermark="1 hour", unit="second",
+    )
+    work = tempfile.mkdtemp(prefix="wf_gate_tbeos_")
+    se.run_available_now(out, f"{work}/sink", f"{work}/ckpt", timeout_sec=600)
+    emitted = spark.read.parquet(f"{work}/sink")
+    flushed = se.flush_tb_partials(
+        spark, f"{work}/ckpt", ["event_type"], spec,
+        aggs={"cnt": "count", "sum_value": "sum"}, unit="second",
+    )
+    return emitted.unionByName(flushed).select(
+        "event_type", "gwid", "cnt",
+        F.round("sum_value", 4).alias("sum_value"),
+        (F.col("gwid") * MIN15 + HOUR - 1).cast("long").alias("win_end"),
+    )
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Video frame-sampling plumbing: one row per sampled frame
     timestamp — a pure explode plan, no Python."""
@@ -940,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding": q_streaming_sliding,
         "streaming_cb_sliding": q_streaming_cb_sliding,
         "streaming_cb_eos": q_streaming_cb_eos,
+        "streaming_tb_eos": q_streaming_tb_eos,
         "multimodal_frames": q_multimodal_frames,
     }
 
@@ -1446,6 +1480,7 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS cnt, (wf_id // 10) * 10 + 9 AS win_end
         FROM ids GROUP BY user_key, wf_id // 10
     """
+    sql["streaming_tb_eos"] = sql["streaming_sliding"]
     sql["streaming_hopping"] = f"""
         SELECT event_type, cast(floor(epoch_us(ts)/{hour}.0) AS BIGINT) AS gwid,
                count(*) AS cnt, round(sum(value), 4) AS sum_value

@@ -729,3 +729,42 @@ def test_stream_cb_eos_flush_restores_batch_parity(spark, tx_path, tdir):
     ).toPandas()
     cols = ["conv_id", "gwid", "s", "c", "mn", "mx", "avg", "win_end"]
     assert_frames_equal(got[cols], want[cols], ["conv_id", "gwid"])
+
+
+def test_stream_tb_eos_flush_restores_batch_parity(spark, tx_path, tdir):
+    """TB arm of the eosnotify flush: an append-mode availableNow drain
+    leaves every window inside the final watermark delay in state;
+    flush_tb_partials reads them back (aggregation buffers in declared
+    order, avg = sum/count) — emitted ∪ flushed == the batch sliding
+    aggregate, row for row."""
+    schema = _schema(spark, tx_path)
+    src = se.stream_source(spark, tx_path, schema)
+    spec = WinSpec("tb", 60, 15)
+    stream = se.stream_win_tb(
+        src, ["conv_id"], "ts", spec,
+        aggs={"cnt": F.count(F.lit(1)), "sum_len": F.sum(F.length("text")),
+              "mx": F.max(F.length("text")),
+              "av": F.avg(F.length("text"))},
+        watermark="10 seconds", unit="second",
+    )
+    sink = str(tdir / "tb_eos_sink")
+    ckpt = str(tdir / "tb_eos_ckpt")
+    se.run_available_now(stream, sink, ckpt, timeout_sec=300)
+    emitted = spark.read.parquet(sink)
+    flushed = se.flush_tb_partials(
+        spark, ckpt, ["conv_id"], spec,
+        aggs={"cnt": "count", "sum_len": "sum", "mx": "max", "av": "avg"},
+        unit="second",
+    )
+    assert flushed.count() > 0  # the trailing windows were in state
+    got = emitted.unionByName(flushed).toPandas()
+    want = win_seq(
+        spark.read.parquet(tx_path).withColumn("us", epoch_us("ts")),
+        ["conv_id"], "us", WinSpec("tb", 60_000_000, 15_000_000),
+        aggs={"cnt": F.count(F.lit(1)), "sum_len": F.sum(F.length("text")),
+              "mx": F.max(F.length("text")),
+              "av": F.avg(F.length("text"))},
+        with_win_end=False,
+    ).toPandas()
+    cols = ["conv_id", "gwid", "cnt", "sum_len", "mx", "av"]
+    assert_frames_equal(got[cols], want[cols], ["conv_id", "gwid"])

@@ -485,6 +485,88 @@ def flush_cb_partials(
     )
 
 
+#: Catalyst aggregation-buffer layout per declared op (slots appear in
+#: the state value struct in agg declaration order; avg carries its
+#: (sum, count) pair)
+_TB_BUFFER_SLOTS = {"count": 1, "sum": 1, "min": 1, "max": 1, "avg": 2}
+
+
+def flush_tb_partials(
+    spark: SparkSession,
+    checkpoint: str,
+    keys: Sequence[str],
+    spec: WinSpec,
+    aggs: dict[str, str],
+    unit: str = "second",
+) -> DataFrame:
+    """EOS flush of unemitted TB windows after an APPEND-mode drain —
+    the time-based arm of the eosnotify rule (win_seq.hpp:432-474).
+    Append mode emits a window only when the watermark passes its end,
+    so every window inside the final watermark delay is still sitting
+    in the aggregation state when an ``availableNow`` drain stops; a
+    truncated stream therefore under-reports vs the reference (and vs
+    the batch plan) by exactly those trailing windows. (The
+    complete-mode memory sink doesn't have this gap — only the
+    production parquet/append path does.)
+
+    Spark emits-and-EVICTS below the watermark in the same micro-batch,
+    so the statestore data source over the drain checkpoint reads
+    exactly the unemitted windows: emitted ∪ flushed == the batch
+    aggregate, row for row (asserted in tests). The state value struct
+    carries the Catalyst aggregation BUFFERS in agg declaration order
+    (avg = (sum, count)), hence ``aggs`` here maps each output name to
+    its declared OP (one of sum/count/min/max/avg), mirroring the
+    ``aggs`` dict the drain passed to ``stream_win_tb`` — a wrapped
+    expression like ``F.round(F.sum(x), 4)`` buffers as its inner agg,
+    so apply the rounding to this function's output, not inside.
+
+    ``spec``/``unit`` recover gwid from the window start with the same
+    formula as ``stream_win_tb`` (hopping's tumbling-of-slide rewrite
+    included, since gwid divides by slide either way). Distributed
+    scan + projection; no replay, no Python. Run after the drain query
+    has stopped.
+    """
+    for name, op in aggs.items():
+        if op not in _TB_BUFFER_SLOTS:
+            raise ValueError(
+                f"agg {name!r}: unknown op {op!r} (have {sorted(_TB_BUFFER_SLOTS)})"
+            )
+    micros_per = {"microsecond": 1, "millisecond": 1_000, "second": 1_000_000}[unit]
+    st = spark.read.format("statestore").option("path", checkpoint).load()
+    # buffer field NAMES duplicate across aggs (two sums ⇒ two 'sum'
+    # fields), which trips analysis on by-name access AND the V2
+    # pushdown rule on `value.*`; struct CASTS are positional, so cast
+    # the whole buffer struct to uniquely-named slots instead. Counts
+    # stay bigint; value slots go through double (sum/min/max over an
+    # integer column buffer as long — exact to 2^53).
+    slot_types = {"count": ["bigint"], "sum": ["double"], "min": ["double"],
+                  "max": ["double"], "avg": ["double", "bigint"]}
+    slots = [t for op in aggs.values() for t in slot_types[op]]
+    slot_names = [f"_s{i}" for i in range(len(slots))]
+    ddl = ", ".join(f"{n}: {t}" for n, t in zip(slot_names, slots))
+    flat = st.select(
+        *[F.col(f"key.{k}").alias(k) for k in keys],
+        F.col("key.window.start").alias("_wstart"),
+        F.col("value").cast(f"struct<{ddl}>").alias("_v"),
+    )
+    out_cols, pos = [], 0
+    for name, op in aggs.items():
+        col = (
+            F.col(f"_v.{slot_names[pos]}") / F.col(f"_v.{slot_names[pos + 1]}")
+            if op == "avg"
+            else F.col(f"_v.{slot_names[pos]}")
+        )
+        out_cols.append(col.alias(name))
+        pos += _TB_BUFFER_SLOTS[op]
+    return flat.select(
+        *keys,
+        *out_cols,
+        (F.unix_micros(F.col("_wstart")) / F.lit(spec.slide * micros_per))
+        .cast("long")
+        .alias(GWID),
+    )
+
+
 def stream_accumulate(
     df: DataFrame,
     key: str,
