@@ -99,7 +99,9 @@ def _noop(df) -> None:
 
 
 def _amp_path(amp: int) -> str:
-    return f"/tmp/windflow_bench/events_amp{amp}"
+    # "_ts" = time-clustered layout (v2, round 4) — bumping the path
+    # invalidates stale randomly-partitioned dirs from earlier rounds
+    return f"/tmp/windflow_bench/events_amp{amp}_ts"
 
 
 def materialize_amplified(spark, sf_dir: str, amp: int, n_files: int = 256) -> str:
@@ -107,7 +109,20 @@ def materialize_amplified(spark, sf_dir: str, amp: int, n_files: int = 256) -> s
     ``amp``× with per-replica key/value/ts perturbation so parquet
     can't RLE the copies away (realistic scan volume), written as
     ``n_files`` files so the scan has enough splits to feed every core
-    (the local proxy for a many-split cluster scan)."""
+    (the local proxy for a many-split cluster scan).
+
+    Layout is TIME-CLUSTERED (repartitionByRange + sort on ts) — what
+    any real stream or time-partitioned Iceberg table gives you, and a
+    2.4× measured difference at 32 cores (7.9 → 3.3 s on 409.6 M
+    rows): with a random layout every scan task sees the full
+    (key × pane) domain, so its map-side hash-agg state is ~180k
+    entries (~18 MB) of random access, and 32 concurrent random-access
+    streams saturate the socket's memory-level parallelism — the
+    non-scaling component the sequential-bandwidth control never
+    showed. Time clustering shrinks per-task state to the few panes
+    the task's time slice covers (cache-resident), which is exactly
+    how the pane pre-aggregation behaves on a time-partitioned source
+    at cluster scale. Sorted files also compress ~40% smaller."""
     from pyspark.sql import functions as F
 
     path = _amp_path(amp)
@@ -124,7 +139,12 @@ def materialize_amplified(spark, sf_dir: str, amp: int, n_files: int = 256) -> s
                 ),
             )
         )
-        amped.repartition(n_files).write.mode("overwrite").parquet(path)
+        (
+            amped.repartitionByRange(n_files, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
     return path
 
 
@@ -255,7 +275,44 @@ def control_efficiencies() -> dict:
                     best = min(best, med) if best else med
                 rate[n] = n / best
         out[f"control_{name}_eff_8_to_32"] = round(rate[32] / (4 * rate[8]), 3)
+    out["control_freq_32_over_8"] = _freq_ratio()
     return out
+
+
+def _freq_ratio() -> float | None:
+    """All-core-turbo control: mean per-core clock with 32 busy threads
+    over the busy-core clock with 8 busy threads (top-8 MHz readings —
+    idle cores clock down and must not dilute the 8-thread sample).
+    Strong-scaling efficiency is bounded by this ratio on any
+    turbo-capable part no matter how perfect the software; < 1.0 here
+    reattributes that share of the gap from the engine to the silicon."""
+    import multiprocessing as mp
+
+    def mhz() -> list[float]:
+        vals = []
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("cpu MHz"):
+                        vals.append(float(line.split(":")[1]))
+        except Exception:
+            pass
+        return vals
+
+    def sample(n: int, top: int) -> float | None:
+        with mp.Pool(n) as pool:
+            res = pool.map_async(_cpu_worker, [30_000_000] * n)
+            time.sleep(1.0)  # let clocks settle under load
+            readings = sorted(mhz(), reverse=True)[:top]
+            res.wait()
+        return sum(readings) / len(readings) if readings else None
+
+    f8 = sample(8, 8)
+    f32 = sample(32, 32)
+    if not f8 or not f32:
+        return None
+    return round(f32 / f8, 3)
+
 
 
 def _compact(a: dict) -> dict:
@@ -299,11 +356,14 @@ def _compact(a: dict) -> dict:
             if sc.get(k) is not None
         }
     c["full_artifact"] = "BENCH/latest_full.json"
-    # hard ≤ ~1 KB stdout guarantee (the driver parses a ~2 KB stdout
-    # tail; r2's overrun made the round unreadable): the queries map is
-    # the only unbounded part — drop it before ever exceeding the
-    # budget (full data is always in BENCH/latest_full.json)
-    if len(json.dumps(c)) > 1000:
+    # hard stdout guarantee (the driver parses a ~2 KB tail; r2's
+    # multi-KB line made the round unreadable): emit with compact
+    # separators, and if the line would still exceed 1500 bytes (the
+    # full battery+streaming+scaling line measured ~1.2 KB — 1500
+    # leaves the final line + newline comfortably inside the 2 KB tail)
+    # drop the queries map, the only unbounded part (full data is
+    # always in BENCH/latest_full.json)
+    if len(json.dumps(c, separators=(",", ":"))) > 1500:
         c["queries"] = f"(dropped, {len(a['queries'])} entries — see full artifact)"
     return c
 
@@ -558,10 +618,10 @@ def main() -> None:
         trig = rest[3] if len(rest) > 3 else 500
         run_live_latency(cores, win_s=win_s, wm_s=wm_s, trigger_ms=trig)
         return
-    if "--scaling-only" in sys.argv:
-        # re-run ONLY the scaling section (e.g. to retry in a quieter
-        # host window), preserving the other sections from the last
-        # full artifact
+    if "--scaling-only" in sys.argv or "--stream-only" in sys.argv:
+        # re-run ONLY one section (e.g. to retry in a quieter host
+        # window), preserving the other sections from the last full
+        # artifact
         full = REPO / "BENCH" / "latest_full.json"
         artifact = (
             json.loads(full.read_text())
@@ -571,7 +631,14 @@ def main() -> None:
                   "throughput": {}, "streaming": {}, "scaling": {}}
         )
         emit = _make_emit(artifact)
-        run_scaling_section(artifact, emit, time.time())
+        if "--scaling-only" in sys.argv:
+            run_scaling_section(artifact, emit, time.time())
+        else:
+            artifact["streaming"] = {
+                k: v for k, v in artifact["streaming"].items()
+                if k.startswith("emit")
+            }
+            run_streaming_section(artifact, emit, time.time())
         emit()
         return
     do_scaling = (
@@ -659,11 +726,19 @@ def main() -> None:
 
 
 def _make_emit(artifact: dict):
+    # fast/verify runs (BENCH_FAST or a non-default SF) must not
+    # clobber the curated full-SF artifact
+    is_fast = (
+        os.environ.get("SPARK_GRAFT_BENCH_FAST") == "1"
+        or SF_DIR != "/root/testdata/sf0.1"
+    )
+    name = "latest_fast.json" if is_fast else "latest_full.json"
+
     def emit() -> None:
-        full = REPO / "BENCH" / "latest_full.json"
+        full = REPO / "BENCH" / name
         full.parent.mkdir(exist_ok=True)
         full.write_text(json.dumps(artifact, indent=1))
-        print(json.dumps(_compact(artifact)), flush=True)
+        print(json.dumps(_compact(artifact), separators=(",", ":")), flush=True)
 
     return emit
 
@@ -733,11 +808,14 @@ def run_scaling_section(artifact: dict, emit, t_start: float) -> None:
     scaling.update(control_efficiencies())
     artifact["scaling"] = scaling
     emit()
-    # scaling input = 4× the throughput input: the pane-routed flagship
-    # finishes 102 M rows in ~3 s at 32 cores, where fixed job overheads
-    # (stage barriers, scheduling) dominate and understate strong
-    # scaling; 410 M rows keeps the 32-core run in the work-bound regime
-    scale_amp = AMP * 4
+    # scaling input = 16× the throughput input: fixed job overheads
+    # (stage barriers, scheduling) dominate small runs and understate
+    # strong scaling. The time-clustered layout (r4) made the flagship
+    # 2.4× faster, putting the old 409.6 M-row input back in the
+    # overhead-dominated regime at 32 cores (~3.3 s) — 1.64 B rows
+    # (~19 GB sorted parquet, page-cache resident) restores a
+    # work-bound t32 of ~13 s
+    scale_amp = AMP * 16
     scaling["scaling_rows_in"] = None
     best: dict[int, float] = {}
 
@@ -764,12 +842,12 @@ def run_scaling_section(artifact: dict, emit, t_start: float) -> None:
         return bw
 
     for cores, reps in ((32, 3), (8, 3), (32, 3), (8, 3), (32, 3), (8, 3)):
-        if time.time() - t_start > 1500 and 8 in best and 32 in best:
+        if time.time() - t_start > 2000 and 8 in best and 32 in best:
             break
         bw_pre = wait_quiet()
         out = subprocess.run(
             [sys.executable, __file__, "--single", str(cores), str(reps)],
-            capture_output=True, text=True, timeout=1200,
+            capture_output=True, text=True, timeout=1800,
             cwd=str(REPO),
             env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR,
                  "SPARK_GRAFT_BENCH_AMP": str(scale_amp)},

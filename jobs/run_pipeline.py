@@ -39,6 +39,12 @@ def main() -> None:
     ap.add_argument("--gap", type=int, default=120, help="session gap seconds")
     ap.add_argument("--watermark", default="5 minutes")
     ap.add_argument("--once", action="store_true")
+    ap.add_argument("--flush-partials", action="store_true",
+                    help="after a --once drain, write the still-open "
+                         "(partial) windows from the checkpoint state to "
+                         "<output>_partials — the reference's EOS flush "
+                         "(win_seq.hpp:432-474); tumbling/sliding/hopping/"
+                         "cb modes")
     ap.add_argument("--metrics", default=None)
     ap.add_argument("--timeout", type=int, default=600)
     args = ap.parse_args()
@@ -115,6 +121,32 @@ def main() -> None:
                              timeout_sec=args.timeout)
         n = spark.read.parquet(args.output).count()
         print(f"windflow-pipeline: drained; sink rows = {n}")
+        if args.flush_partials:
+            # EOS flush (win_seq.hpp:432-474): finalize the windows the
+            # watermark / Triggerer never closed. Written to a sibling
+            # dir in overwrite mode — a replayed drain re-derives the
+            # same partial set, so the flush stays idempotent and the
+            # main sink keeps its exactly-once manifest untouched.
+            spec = WinSpec("tb", args.win,
+                           args.slide if args.mode in ("sliding", "hopping")
+                           else args.win)
+            if args.mode in ("tumbling", "sliding", "hopping"):
+                flushed = se.flush_tb_partials(
+                    spark, args.checkpoint, ["conv_id"], spec,
+                    aggs={"cnt": "count", "sum_len": "sum"},
+                )
+            elif args.mode == "cb":
+                flushed = se.flush_cb_partials(
+                    spark, args.checkpoint, "conv_id", WinSpec("cb", 8, 4),
+                    value_col="text_len",
+                )
+            else:
+                raise SystemExit(
+                    f"--flush-partials unsupported for mode {args.mode!r}"
+                )
+            flushed.write.mode("overwrite").parquet(f"{args.output}_partials")
+            np = spark.read.parquet(f"{args.output}_partials").count()
+            print(f"windflow-pipeline: flushed partial windows = {np}")
     else:
         q = (
             out.writeStream.format("parquet")
