@@ -100,8 +100,12 @@ def _noop(df) -> None:
 
 def _amp_path(amp: int) -> str:
     # "_ts" = time-clustered layout (v2, round 4) — bumping the path
-    # invalidates stale randomly-partitioned dirs from earlier rounds
-    return f"/tmp/windflow_bench/events_amp{amp}_ts"
+    # invalidates stale randomly-partitioned dirs from earlier rounds.
+    # The SF tag keys the cache by SOURCE table too: a verify run at
+    # sf0.01 must not poison the sf0.1 artifact's amplified input
+    # (materialize_amplified only checks _SUCCESS existence).
+    sf_tag = Path(SF_DIR).name
+    return f"/tmp/windflow_bench/events_{sf_tag}_amp{amp}_ts"
 
 
 def materialize_amplified(spark, sf_dir: str, amp: int, n_files: int = 256) -> str:
@@ -747,14 +751,19 @@ PAIR_STEAL_CAP = 1000  # jiffies over a full sample subprocess ⇒ clean
 
 
 def headline_from_pairs(samples: list[dict], steal_cap: int = PAIR_STEAL_CAP,
-                        bw_tol: float = 1.2) -> dict:
+                        bw_tol: float = 1.2, bw_hold: float = 0.7) -> dict:
     """Condition-matched headline estimator (VERDICT r3 #1): adjacent
-    (32, 8) sample pairs, each pair VALID only when both sides' steal
-    is under ``steal_cap`` AND their pre-sample bandwidth probes agree
-    within ``bw_tol`` — adjacency alone paired a 39k-steal 8-core
-    sample with a clean 32-core one in r3 and reported an impossible
-    1.222. Headline = max over valid pairs, clamped at 1.0; with no
-    valid pair, the median pair ships with headline_valid=false."""
+    (32, 8) sample pairs, each pair VALID only when (a) both sides'
+    steal is under ``steal_cap``, (b) their pre-sample bandwidth
+    probes agree within ``bw_tol``, and (c) each side's POST-sample
+    probe held at least ``bw_hold`` of its pre-sample probe — (a)+(b)
+    alone let r3 pair a 39k-steal 8-core sample with a clean 32-core
+    one (impossible 1.222), and (c) catches the other failure mode
+    observed in r4: host bandwidth collapsing MID-sample (pre 50.8 →
+    post 23.1 around a 32-core run that read 36% slow with clean steal
+    and matched pre-probes). Headline = max over valid pairs, clamped
+    at 1.0; with no valid pair, the median pair ships with
+    headline_valid=false."""
     pairs = []
     for i in range(1, len(samples)):
         a, b = samples[i - 1], samples[i]
@@ -762,13 +771,20 @@ def headline_from_pairs(samples: list[dict], steal_cap: int = PAIR_STEAL_CAP,
             s32 = a if a["cores"] == 32 else b
             s8 = b if b["cores"] == 8 else a
             bws = sorted((s8["bw_pre_gbps"], s32["bw_pre_gbps"]))
+            held = all(  # absent post probe ⇒ can't disprove, accept
+                s["bw_probe_gbps"] >= bw_hold * s["bw_pre_gbps"]
+                for s in (s8, s32)
+                if s["bw_pre_gbps"] > 0 and s.get("bw_probe_gbps") is not None
+            )
             pairs.append({
                 "eff": round(s8["sec"] / (4 * s32["sec"]), 3),
                 "steal": [s8["steal_jiffies"], s32["steal_jiffies"]],
                 "bw_pre": [s8["bw_pre_gbps"], s32["bw_pre_gbps"]],
+                "bw_post": [s8.get("bw_probe_gbps"), s32.get("bw_probe_gbps")],
                 "valid": (
                     max(s8["steal_jiffies"], s32["steal_jiffies"]) < steal_cap
                     and bws[0] > 0 and bws[1] / bws[0] <= bw_tol
+                    and held
                 ),
             })
     if not pairs:

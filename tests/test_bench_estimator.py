@@ -62,3 +62,29 @@ def test_headline_clamps_at_one():
 def test_non_adjacent_same_size_samples_make_no_pair():
     r = headline_from_pairs([_s(32, 7.0, 10, 45.0), _s(32, 7.1, 10, 45.0)])
     assert r == {}
+
+
+def _s2(cores, sec, steal, bw_pre, bw_post):
+    return {"cores": cores, "sec": sec, "steal_jiffies": steal,
+            "bw_pre_gbps": bw_pre, "bw_probe_gbps": bw_post}
+
+
+def test_mid_sample_bandwidth_collapse_invalidates():
+    """r4 failure mode: clean steal + matched PRE probes, but the host
+    bandwidth collapsed DURING the 32-core sample (post probe 23.1 vs
+    pre 50.8) — the pair must not validate."""
+    r = headline_from_pairs([
+        _s2(8, 23.274, 55, 51.4, 17.8),
+        _s2(32, 10.773, 569, 50.8, 23.1),
+    ])
+    assert r["pairs"][0]["valid"] is False
+    assert r["headline_valid"] is False
+
+
+def test_held_bandwidth_validates():
+    r = headline_from_pairs([
+        _s2(8, 19.591, 192, 46.6, 53.8),
+        _s2(32, 7.972, 269, 46.4, 34.4),  # post 0.74x pre — held
+    ])
+    assert r["pairs"][0]["valid"] is True
+    assert r["efficiency_8_to_32"] == 0.614
