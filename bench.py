@@ -807,7 +807,19 @@ def run_scaling_section(artifact: dict, emit, t_start: float) -> None:
     # 32-core samples lead the order — a slow t32 biases the ratio DOWN,
     # so it needs the most repeats before any time cutoff. The hardware
     # ceiling controls ship inside the artifact (control_* keys).
-    scaling: dict = {"samples": [], "note": (
+    # cross-run scaling history accumulates (the host's invisible
+    # degradation mode makes any single run an arbitrary point of a
+    # wide range — see BENCH/BASELINE.md r4): carry runs_history from
+    # the previous artifact forward so a fresh full run can't erase it
+    prev_hist = {}
+    prev_path = REPO / "BENCH" / "latest_full.json"
+    if prev_path.exists():
+        try:
+            prev_hist = json.loads(prev_path.read_text()).get(
+                "scaling", {}).get("runs_history", {})
+        except Exception:
+            pass
+    scaling: dict = {"samples": [], "runs_history": prev_hist, "note": (
         "best-of-N fresh JVMs; HEADLINE efficiency_8_to_32 = best "
         "VALID adjacent same-window (32,8) sample pair, clamped at "
         "1.0 — a pair is valid only when both sides' steal < "
