@@ -229,6 +229,29 @@ def _membw_worker(args) -> float:
     return time.time() - t0 + (s * 0)
 
 
+def _memrand_worker(args) -> float:
+    """Random-access (memory-level-parallelism) kernel: vectorized
+    dependent gathers over an array ≫ LLC — the access pattern of
+    map-side hash aggregation, which the SEQUENTIAL membw kernel does
+    not exercise. 4096 independent chains advance one random hop per
+    step, so the kernel is throughput-limited by how many outstanding
+    misses the socket sustains; contention here is the ceiling the
+    flagship's partial-agg stage inherits, and the r4 window-to-window
+    t32 variance (7.9–15.8 s under identical steal + sequential-bw
+    probes) is the kind of degradation only this pattern shows."""
+    import numpy as np
+
+    steps, n = args
+    rng = np.random.default_rng(0)
+    a = rng.permutation(n).astype(np.int64)
+    float(a.sum())  # fault every page in before timing
+    x = a[:4096].copy()
+    t0 = time.time()
+    for _ in range(steps):
+        x = a[x]
+    return time.time() - t0 + float(x[0]) * 0
+
+
 def bw_probe(n: int = 8) -> float:
     """Point-in-time aggregate DRAM bandwidth estimate (GB/s): n workers
     streaming 1 GB each, median worker rate × n. Recorded next to every
@@ -267,6 +290,8 @@ def control_efficiencies() -> dict:
     for name, worker, per, warm in (
         ("cpu", _cpu_worker, 60_000_000, 1000),
         ("membw", _membw_worker, (8, 256), (1, 64)),
+        # 2^25 entries = 256 MB per worker (≫ LLC); ~2 s per rep
+        ("memrand", _memrand_worker, (5000, 1 << 25), (100, 1 << 25)),
     ):
         rate = {}
         for n in (8, 32):
@@ -354,7 +379,8 @@ def _compact(a: dict) -> dict:
                 "efficiency_8_to_32", "headline_valid",
                 "efficiency_cross_window",
                 "efficiency_median_8_to_32", "control_cpu_eff_8_to_32",
-                "control_membw_eff_8_to_32", "local8_events_per_sec",
+                "control_membw_eff_8_to_32", "control_memrand_eff_8_to_32",
+                "control_freq_32_over_8", "local8_events_per_sec",
                 "local32_events_per_sec", "scaling_rows_in",
             )
             if sc.get(k) is not None
