@@ -252,6 +252,43 @@ def _memrand_worker(args) -> float:
     return time.time() - t0 + float(x[0]) * 0
 
 
+def _memrand_probe_worker(args) -> float:
+    """Probe-grade variant of _memrand_worker: identical dependent-
+    gather chase, but the permutation is a cheap multiplicative stride
+    (odd multiplier mod 2^k — a bijection, values scattered) instead of
+    rng.permutation — init cost ~0.2 s vs seconds under contention, so
+    the probe can run PER SAMPLE. The control keeps the true random
+    permutation for comparability with its r4 history."""
+    import numpy as np
+
+    steps, n = args
+    a = (np.arange(n, dtype=np.int64) * 2654435761) % n
+    float(a.sum())  # fault every page in before timing
+    x = a[:4096].copy()
+    t0 = time.time()
+    for _ in range(steps):
+        x = a[x]
+    return time.time() - t0 + float(x[0]) * 0
+
+
+def memrand_probe(n: int = 8) -> float:
+    """Point-in-time random-access (MLP) throughput probe, Mhops/s —
+    the quantity the SEQUENTIAL bw_probe cannot see. r4's estimator
+    shipped 0.271 off a 32-core sample that ran 22.7 s where its
+    same-condition neighbors ran 9.6/9.8 s, with clean steal AND held
+    bandwidth probes on every side: the degradation was random-access
+    latency (NOTES.md r4), the access pattern of map-side hash
+    aggregation. Recording this pre/post each scaling sample makes
+    that failure mode visible to pair validity (VERDICT r4 #2)."""
+    import multiprocessing as mp
+
+    steps = 20_000
+    with mp.Pool(n) as pool:
+        pool.map(_memrand_probe_worker, [(200, 1 << 25)] * n)  # warm
+        durs = sorted(pool.map(_memrand_probe_worker, [(steps, 1 << 25)] * n))
+    return round(n * steps * 4096 / durs[n // 2] / 1e6, 1)
+
+
 def bw_probe(n: int = 8) -> float:
     """Point-in-time aggregate DRAM bandwidth estimate (GB/s): n workers
     streaming 1 GB each, median worker rate × n. Recorded next to every

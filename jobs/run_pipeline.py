@@ -36,6 +36,10 @@ def main() -> None:
                              "hopping", "nic"])
     ap.add_argument("--win", type=int, default=60, help="window seconds")
     ap.add_argument("--slide", type=int, default=15, help="slide seconds")
+    ap.add_argument("--cb-win", type=int, default=8,
+                    help="cb-mode window length in tuples")
+    ap.add_argument("--cb-slide", type=int, default=4,
+                    help="cb-mode slide in tuples")
     ap.add_argument("--gap", type=int, default=120, help="session gap seconds")
     ap.add_argument("--watermark", default="5 minutes")
     ap.add_argument("--once", action="store_true")
@@ -44,7 +48,7 @@ def main() -> None:
                          "(partial) windows from the checkpoint state to "
                          "<output>_partials — the reference's EOS flush "
                          "(win_seq.hpp:432-474); tumbling/sliding/hopping/"
-                         "cb modes")
+                         "cb/session modes")
     ap.add_argument("--metrics", default=None)
     ap.add_argument("--timeout", type=int, default=600)
     args = ap.parse_args()
@@ -62,23 +66,31 @@ def main() -> None:
     schema = spark.read.parquet(args.input).schema
     src = se.stream_source(spark, args.input, schema)
     turns = src.withColumn("text_len", F.length("text"))
+    # ONE spec per mode family, shared by the drain and the EOS flush —
+    # two independent spec literals desync the flush's gwid/win_end
+    # from the drained state layout with no error
+    cb_spec = WinSpec("cb", args.cb_win, args.cb_slide)
+    tb_spec = WinSpec(
+        "tb", args.win,
+        args.slide if args.mode in ("sliding", "hopping") else args.win,
+    )
 
     if args.mode == "tumbling":
         out = se.stream_win_tb(
-            turns, ["conv_id"], "ts", WinSpec("tb", args.win, args.win),
+            turns, ["conv_id"], "ts", tb_spec,
             aggs={"cnt": F.count(F.lit(1)), "sum_len": F.sum("text_len")},
             watermark=args.watermark,
         )
     elif args.mode == "sliding":
         out = se.stream_win_tb(
-            turns, ["conv_id"], "ts", WinSpec("tb", args.win, args.slide),
+            turns, ["conv_id"], "ts", tb_spec,
             aggs={"cnt": F.count(F.lit(1)), "sum_len": F.sum("text_len")},
             watermark=args.watermark,
         )
     elif args.mode == "hopping":
         # win < slide — routed through the tumbling-of-slide rewrite
         out = se.stream_win_tb(
-            turns, ["conv_id"], "ts", WinSpec("tb", args.win, args.slide),
+            turns, ["conv_id"], "ts", tb_spec,
             aggs={"cnt": F.count(F.lit(1)), "sum_len": F.sum("text_len")},
             watermark=args.watermark,
         )
@@ -88,7 +100,7 @@ def main() -> None:
             return {"median_len": float(w["text_len"].median()), "cnt": len(w)}
 
         out = se.stream_win_tb_nic(
-            turns, ["conv_id"], "ts", WinSpec("tb", args.win, args.win),
+            turns, ["conv_id"], "ts", tb_spec,
             _median_len, "median_len double, cnt long",
             payload_cols=["text_len"], watermark=args.watermark,
         )
@@ -100,7 +112,7 @@ def main() -> None:
     elif args.mode == "cb":
         out = se.stream_cb_windows(
             turns.withColumn("text_len", F.col("text_len").cast("double")),
-            "conv_id", "turn_idx", "text_len", WinSpec("cb", 8, 4),
+            "conv_id", "turn_idx", "text_len", cb_spec,
         )
     else:  # join
         left = turns.filter(F.col("role") == "assistant").select(
@@ -127,18 +139,19 @@ def main() -> None:
             # dir in overwrite mode — a replayed drain re-derives the
             # same partial set, so the flush stays idempotent and the
             # main sink keeps its exactly-once manifest untouched.
-            spec = WinSpec("tb", args.win,
-                           args.slide if args.mode in ("sliding", "hopping")
-                           else args.win)
             if args.mode in ("tumbling", "sliding", "hopping"):
                 flushed = se.flush_tb_partials(
-                    spark, args.checkpoint, ["conv_id"], spec,
+                    spark, args.checkpoint, ["conv_id"], tb_spec,
                     aggs={"cnt": "count", "sum_len": "sum"},
                 )
             elif args.mode == "cb":
                 flushed = se.flush_cb_partials(
-                    spark, args.checkpoint, "conv_id", WinSpec("cb", 8, 4),
+                    spark, args.checkpoint, "conv_id", cb_spec,
                     value_col="text_len",
+                )
+            elif args.mode == "session":
+                flushed = se.flush_session_partials(
+                    spark, args.checkpoint, ["conv_id"], aggs={"cnt": "count"},
                 )
             else:
                 raise SystemExit(

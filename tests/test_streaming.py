@@ -623,7 +623,8 @@ def test_stream_cb_tws_matches_classic(spark, tx_path):
 
 def test_stream_cb_tws_general_aggs_match_classic(spark, tx_path):
     """The TWS path takes the same aggs registry as the classic path
-    (VERDICT r3 #5): a non-default sum/count/min/max/mean set produces
+    (VERDICT r3 #5): a non-default set spanning every registry op —
+    including the non-scalar argmax (VERDICT r4 #6) — produces
     identical fired windows on both implementations."""
     if not se.tws_available():
         pytest.skip("protobuf runtime absent — TWS unavailable in this container")
@@ -632,7 +633,7 @@ def test_stream_cb_tws_general_aggs_match_classic(spark, tx_path):
     aggs = {
         "s": ("sum", "text_len"), "c": ("count", None),
         "mn": ("min", "text_len"), "mx": ("max", "text_len"),
-        "avg": ("mean", "text_len"),
+        "avg": ("mean", "text_len"), "am": ("argmax", "text_len"),
     }
 
     def build(fn):
@@ -768,3 +769,122 @@ def test_stream_tb_eos_flush_restores_batch_parity(spark, tx_path, tdir):
     ).toPandas()
     cols = ["conv_id", "gwid", "cnt", "sum_len", "mx", "av"]
     assert_frames_equal(got[cols], want[cols], ["conv_id", "gwid"])
+
+
+def test_stream_cb_argmax_equals_batch(spark, tx_path):
+    """The argmax registry op (non-scalar (value, id) slot pair —
+    VERDICT r4 #6) through the classic CB processor == a deterministic
+    batch struct-max oracle: max value, ties broken by SMALLEST id
+    (text lengths tie constantly, so the tiebreak carries real
+    weight in this fixture)."""
+    from windflow_spark.operators.windows import GWID
+
+    schema = _schema(spark, tx_path)
+    src = se.stream_source(spark, tx_path, schema, max_files_per_trigger=1)
+    spec = WinSpec("cb", 10, 5)
+    stream = se.stream_cb_windows(
+        src.withColumn("text_len", F.length("text").cast("double")),
+        "conv_id", "turn_idx", None, spec,
+        aggs={"c": ("count", None), "am": ("argmax", "text_len"),
+              "mx": ("max", "text_len")},
+    )
+    got = se.run_to_memory(stream, "t_cb_am", spark, output_mode="append").toPandas()
+    batch = spark.read.parquet(tx_path).withColumn(
+        "text_len", F.length("text").cast("double")
+    )
+    # deterministic batch argmax: max over (value, -id) structs → the
+    # max value's smallest id (the registry's tie rule)
+    want_all = win_seq(
+        batch, ["conv_id"], "turn_idx", spec,
+        aggs={
+            "c": F.count(F.lit(1)),
+            "_mb": F.max(F.struct(
+                F.col("text_len").alias("v"),
+                (-F.col("turn_idx")).alias("ni"),
+            )),
+            "mx": F.max("text_len"),
+        },
+    ).withColumn("am", (-F.col("_mb.ni")).cast("long")).drop("_mb").toPandas()
+    maxid = batch.groupBy("conv_id").agg(F.max("turn_idx").alias("m")).toPandas()
+    want = want_all.merge(maxid, on="conv_id")
+    want = want[want["win_end"] <= want["m"]].drop(columns=["m"])
+    cols = ["conv_id", GWID, "c", "am", "mx", "win_end"]
+    assert len(got) > 0
+    assert_frames_equal(got[cols], want[cols], ["conv_id", GWID])
+
+
+def test_stream_cb_buffered_eos_flush_parity(spark, tdir):
+    """ADVICE r4 (medium): a drain with on_late='buffer' leaves the
+    trailing lateness span un-folded in (buf_ids, buf_vals) —
+    flush_cb_partials(on_late='buffer') folds that span first (windows
+    whose last tuple sat in the buffer fire HERE, never double-emitted)
+    then finalizes the remaining partials: fired ∪ flushed == the batch
+    result including partials, even under cross-batch disorder."""
+    import numpy as np
+
+    src_dir = str(tdir / "bufeos_src")
+    os.makedirs(src_dir, exist_ok=True)
+    rng = np.random.default_rng(5)
+    ids = np.arange(58, dtype=np.int64)  # window 5 (ids 50-57) partial
+    perm = np.argsort(ids + rng.uniform(-6, 6, len(ids)))
+    shuffled = ids[perm]
+    mk = lambda a: pd.DataFrame({"k": "c0", "i": a, "v": a.astype(np.float64)})
+    datagen.write_parquet_us(mk(shuffled[:29]), f"{src_dir}/a.parquet")
+    datagen.write_parquet_us(mk(shuffled[29:]), f"{src_dir}/b.parquet")
+
+    schema = spark.read.parquet(src_dir).schema
+    spec = WinSpec("cb", 10, 10)
+    src = se.stream_source(spark, src_dir, schema, max_files_per_trigger=1)
+    stream = se.stream_cb_windows(src, "k", "i", "v", spec,
+                                  on_late="buffer", lateness=12)
+    sink, ckpt = str(tdir / "bufeos_sink"), str(tdir / "bufeos_ckpt")
+    se.run_available_now(stream, sink, ckpt, timeout_sec=300)
+    fired = spark.read.parquet(sink)
+    flushed = se.flush_cb_partials(spark, ckpt, "k", spec, value_col="v",
+                                   on_late="buffer")
+    fl = flushed.toPandas().sort_values("gwid")
+    # the drain fired 0..3 (ripe region ids ≤ 57-12=45); the flush must
+    # emit window 4 (full — last tuple was buffered) AND partial 5
+    assert fl["gwid"].tolist() == [4, 5]
+    got = fired.unionByName(flushed).toPandas()
+    want = win_seq(
+        spark.read.parquet(src_dir), ["k"], "i", spec,
+        aggs={"sum_value": F.sum("v"), "cnt": F.count(F.lit(1))},
+    ).toPandas()
+    cols = ["k", "gwid", "sum_value", "cnt", "win_end"]
+    assert_frames_equal(got[cols], want[cols], ["k", "gwid"])
+
+
+def test_flush_session_partials_restores_batch_parity(spark, tx_path, tdir):
+    """Session arm of the eosnotify flush (VERDICT r4 #7): append-mode
+    drain emits only watermark-closed sessions; flush_session_partials
+    reads the open sessions from the session-merge state (positional
+    buffer cast) and emitted ∪ flushed == the batch gap-split output."""
+    from windflow_spark.operators.sessions import session_windows
+
+    schema = _schema(spark, tx_path)
+    gap_s = 60
+    src = se.stream_source(spark, tx_path, schema)
+    stream = se.stream_session(
+        src, ["conv_id"], "ts", f"{gap_s} seconds",
+        aggs={"cnt": F.count(F.lit(1)), "sum_len": F.sum(F.length("text"))},
+        watermark="10 seconds",
+    )
+    sink, ckpt = str(tdir / "sess_eos_sink"), str(tdir / "sess_eos_ckpt")
+    se.run_available_now(stream, sink, ckpt, timeout_sec=300)
+    emitted = spark.read.parquet(sink)
+    flushed = se.flush_session_partials(
+        spark, ckpt, ["conv_id"], aggs={"cnt": "count", "sum_len": "sum"}
+    )
+    assert flushed.count() > 0  # trailing sessions were still in state
+    cols = ["conv_id", "session_start", "cnt", "sum_len"]
+    got = emitted.select(*cols).unionByName(flushed.select(*cols)).toPandas()
+    batch = spark.read.parquet(tx_path).withColumn("us", epoch_us("ts"))
+    want = session_windows(
+        batch, ["conv_id"], "us", gap_s * 1_000_000,
+        aggs={"cnt": F.count(F.lit(1)), "sum_len": F.sum(F.length("text"))},
+    ).toPandas()[cols]
+    assert_frames_equal(got, want, ["conv_id", "session_start"])
+    # declared-aggs mismatch fails loud, not silently wrong
+    with pytest.raises(ValueError, match="expected"):
+        se.flush_session_partials(spark, ckpt, ["conv_id"], aggs={"cnt": "count"})

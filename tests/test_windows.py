@@ -299,7 +299,39 @@ def test_pane_topk_exact_vs_brute_force(spark):
     assert_frames_equal(got, want, ["k", "gwid", "rnk"])
 
 
-def test_pane_quantile_brackets_exact_discrete_quantile(spark):
+def test_pane_topk_and_quantile_ignore_null_order_values(spark):
+    """ADVICE r4: NULL/NaN order values would sort FIRST in the
+    ascending struct sort (-NULL before every number) and dominate the
+    top-k; both ops now filter them up front, matching a NULLS LAST
+    row_number oracle / non-null histogram."""
+    import math as _math
+
+    import pandas as pd
+
+    from windflow_spark.operators.pane_farm import pane_quantile, pane_topk
+
+    pdf = pd.DataFrame({
+        "k": ["a"] * 8,
+        "t": [0, 1, 2, 3, 4, 5, 6, 7],
+        "id": [0, 1, 2, 3, 4, 5, 6, 7],
+        "v": [5.0, None, 3.0, float("nan"), 9.0, 1.0, None, 7.0],
+    })
+    got = pane_topk(
+        spark.createDataFrame(pdf), ["k"], "t", WinSpec("tb", 8, 4),
+        order_col="v", id_col="id", k=2,
+    ).toPandas()
+    w1 = got[got["gwid"] == 1].sort_values("rnk")
+    # window 1 covers t in [4, 12): non-null values 9.0(id4), 1.0(id5),
+    # 7.0(id7) — top-2 = ids 4, 7; the NULL at id6 must not appear
+    assert w1["id"].tolist() == [4, 7]
+    assert w1["v"].tolist() == [9.0, 7.0]
+    q = pane_quantile(
+        spark.createDataFrame(pdf), ["k"], "t", WinSpec("tb", 8, 4),
+        value_col="v", q=0.5, bucket_width=1.0,
+    ).toPandas()
+    q1 = q[q["gwid"] == 1].iloc[0]
+    assert q1["cnt"] == 3  # non-null rows only
+    assert not _math.isnan(q1["est"]) and q1["est"] == 7.0
     """pane_quantile's lower bucket edge brackets the exact type-1
     quantile within one bucket_width on EVERY window, and the merged
     counts are exact."""

@@ -75,10 +75,12 @@ def verify_tws(spark) -> str:
     spec = WinSpec("cb", 8, 4)
 
     # non-default agg set: exercises the generalized aggs= passthrough
-    # on the TWS path (VERDICT r3 #5), not just the classic default
+    # on the TWS path (VERDICT r3 #5) across the FULL registry — incl.
+    # the non-scalar argmax (value, id) fold (VERDICT r4 #6)
     aggs = {
         "s": ("sum", "v"), "c": ("count", None),
         "mn": ("min", "v"), "mx": ("max", "v"), "avg": ("mean", "v"),
+        "am": ("argmax", "v"),
     }
 
     def run(fn, name):

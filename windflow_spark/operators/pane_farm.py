@@ -186,10 +186,20 @@ def pane_topk(
     Ordering: ``order_col`` DESC with ``id_col`` ASC tiebreak (struct
     sort on (-order, id) — deterministic, same rule as windowed_topk).
     Output: one row per (keys, gwid, rnk≤k) with (id_col, order_col).
+
+    NULL/NaN ``order_col`` rows are filtered up front: the ascending
+    struct sort would otherwise place them FIRST (-NULL sorts before
+    every number), letting junk rows dominate the top-k — dropping
+    them matches a ``row_number() ORDER BY order_col DESC NULLS LAST``
+    oracle whenever k ≤ the count of non-null rows (the same non-null
+    precondition ``_make_cb_fold`` enforces by raising).
     """
     if spec.win <= spec.slide:
         raise ValueError("pane_topk requires a sliding window (win > slide)")
     pane = math.gcd(spec.win, spec.slide)
+    df = df.filter(
+        F.col(order_col).isNotNull() & ~F.isnan(F.col(order_col).cast("double"))
+    )
     t = (F.expr(unit_col) if isinstance(unit_col, str) else unit_col).cast("long") - F.lit(origin)
     item = F.struct(
         (-F.col(order_col)).alias("_nv"),
@@ -254,8 +264,16 @@ def pane_quantile(
     Output: (keys…, gwid, cnt, est). For truly holistic UDFs (no
     algebraic decomposition) the NIC path with its ``max_group_rows``
     guard remains the honest route.
+
+    NULL/NaN ``value_col`` rows are filtered up front (a NULL bucket
+    would otherwise absorb them and yield a NULL est); ``cnt`` and the
+    quantile are therefore over the non-null rows — the same non-null
+    precondition as pane_topk / ``_make_cb_fold``.
     """
     pane = math.gcd(spec.win, spec.slide)
+    df = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))
+    )
     t = (F.expr(unit_col) if isinstance(unit_col, str) else unit_col).cast("long") - F.lit(origin)
     hist = (
         df.withColumn("_pane", F.floor(t / F.lit(pane)))

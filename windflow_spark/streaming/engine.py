@@ -187,26 +187,62 @@ def stream_session(
 # The reference accepts an arbitrary INC lambda (includes/win_seq.hpp:
 # 63-65); a distributed engine needs the fold DECLARED decomposable, so
 # the op registry is the contract (sum/count/min/max/mean cover the
-# reference's test programs; extend by adding a row here).
+# reference's test programs; argmax proves the registry generalizes
+# beyond scalar semigroups — extend by adding a row here).
+
+
+def _argmax_batch(g, c):
+    """Per-window argmax partials: (max value, id attaining it) with
+    smallest-id tiebreak. Vectorized via a (value DESC, id ASC) sort +
+    groupby-first over the fold frame (``g.obj`` — the frame always
+    carries the per-key monotone id as ``_id``)."""
+    df = g.obj.sort_values([c, "_id"], ascending=[False, True], kind="stable")
+    f = df.groupby("_w", sort=True).first()
+    return [f[c], f["_id"].astype("float64")]
+
+
+def _argmax_merge(o, n):
+    # old partials hold strictly smaller ids (per-key ids are monotone
+    # across batches), so a value tie keeps the old (smaller-id) slot
+    return list(n) if n[0] > o[0] or (n[0] == o[0] and n[1] < o[1]) else list(o)
+
+
 _CB_OPS = {
-    # op: (n_slots, batch_kernel(grouped) -> list of per-slot Series,
-    #      merge(old_slots, new_slots), finalize(slots), out_sql_type)
+    # op: (n_slots,
+    #      batch_kernel(frame_groupby, in_col) -> list of per-slot
+    #          Series indexed by window id (the groupby frame carries
+    #          the fold's value columns plus "_id" = the tuple id),
+    #      merge(old_slots, new_slots), finalize(slots),
+    #      out_sql_type,
+    #      catalyst_finalize(parts_array_col, slot_pos) -> Column —
+    #          the same finalize over the persisted slot layout, used
+    #          by flush_cb_partials' pure-Catalyst EOS projection)
     # count uses size() (true row count, null-insensitive) — the
     # reference's per-row fold counts EVERY tuple; null/NaN values in
-    # sum/min/max/mean input columns are rejected at the operator
-    # boundary (_make_cb_fold) rather than silently skipped, so pandas
-    # skipna semantics can't diverge from the reference fold.
-    "sum": (1, lambda g: [g.sum()], lambda o, n: [o[0] + n[0]],
-            lambda s: s[0], "double"),
-    "count": (1, lambda g: [g.size().astype("float64")],
-              lambda o, n: [o[0] + n[0]], lambda s: int(s[0]), "long"),
-    "min": (1, lambda g: [g.min()],
-            lambda o, n: [min(o[0], n[0])], lambda s: s[0], "double"),
-    "max": (1, lambda g: [g.max()],
-            lambda o, n: [max(o[0], n[0])], lambda s: s[0], "double"),
-    "mean": (2, lambda g: [g.sum(), g.size().astype("float64")],
+    # other ops' input columns are rejected at the operator boundary
+    # (_make_cb_fold) rather than silently skipped, so pandas skipna
+    # semantics can't diverge from the reference fold.
+    "sum": (1, lambda g, c: [g[c].sum()], lambda o, n: [o[0] + n[0]],
+            lambda s: s[0], "double", lambda p, i: p[i]),
+    "count": (1, lambda g, c: [g.size().astype("float64")],
+              lambda o, n: [o[0] + n[0]], lambda s: int(s[0]), "long",
+              lambda p, i: p[i]),
+    "min": (1, lambda g, c: [g[c].min()],
+            lambda o, n: [min(o[0], n[0])], lambda s: s[0], "double",
+            lambda p, i: p[i]),
+    "max": (1, lambda g, c: [g[c].max()],
+            lambda o, n: [max(o[0], n[0])], lambda s: s[0], "double",
+            lambda p, i: p[i]),
+    "mean": (2, lambda g, c: [g[c].sum(), g.size().astype("float64")],
              lambda o, n: [o[0] + n[0], o[1] + n[1]],
-             lambda s: s[0] / s[1], "double"),
+             lambda s: s[0] / s[1], "double",
+             lambda p, i: p[i] / p[i + 1]),
+    # argmax: the id of the tuple attaining the window max of in_col
+    # (ties → smallest id; (value, id) slot pair — the max_by shape the
+    # reference folds with an arbitrary INC lambda). Ids are exact in
+    # the float64 slot up to 2^53.
+    "argmax": (2, _argmax_batch, _argmax_merge,
+               lambda s: int(s[1]), "long", lambda p, i: p[i + 1]),
 }
 
 
@@ -243,16 +279,15 @@ def _make_cb_fold(win: int, slide: int, aggs: dict, in_cols: list[str]):
         row_idx = np.repeat(np.arange(len(ids)), counts)
         offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
         wid = first[row_idx] + offs
-        frame = {"_w": wid}
+        # the frame always carries the tuple id (_id) so order-aware
+        # ops (argmax) can reach it; kernels receive the frame groupby
+        frame = {"_w": wid, "_id": ids[row_idx]}
         for c in in_cols:
             frame[c] = vals[c][row_idx]
-        if not in_cols:  # count-only folds still need a column to group
-            frame["_one"] = np.ones(total)
         g = pd.DataFrame(frame).groupby("_w", sort=True)
         slot_series = []
         for op, c in aggs.values():
-            col = c if c is not None else (in_cols[0] if in_cols else "_one")
-            slot_series += _CB_OPS[op][1](g[col])
+            slot_series += _CB_OPS[op][1](g, c)
         wkeys = slot_series[0].index.to_numpy()
         mat = np.column_stack([s.to_numpy() for s in slot_series])
         for w, new in zip(wkeys, mat):
@@ -425,6 +460,7 @@ def flush_cb_partials(
     spec: WinSpec,
     aggs: dict[str, tuple[str, str | None]] | None = None,
     value_col: str | None = None,
+    on_late: str = "drop",
 ) -> DataFrame:
     """EOS flush of still-open CB windows after a drain — the
     reference's ``eosnotify`` partial-window emission
@@ -449,12 +485,28 @@ def flush_cb_partials(
     aggs..., win_end); union with the drained sink for reference
     parity on truncated streams. Run AFTER the drain query has stopped
     (the reader takes the latest committed version).
+
+    ``on_late`` must match the policy the DRAIN ran with. A
+    ``"buffer"`` drain leaves the trailing lateness span of tuples
+    un-folded in (buf_ids, buf_vals); the reference's eosnotify folds
+    those buffered tuples before emitting partials, so the buffered
+    flush first folds the ripe buffer (same last_id dedup + shared
+    ``_make_cb_fold`` kernel as the processor — windows whose last
+    tuple sat in the buffer fire here, they were never emitted by the
+    drain) and then finalizes every still-open window. That path runs
+    mapInPandas over the state rows (one per key, no shuffle — still
+    scales with state size); the default drop/assume_ordered path
+    stays pure Catalyst over the slot arrays.
     """
     if aggs is None:
         if value_col is None:
             raise ValueError("value_col or aggs required")
         aggs = {"sum_value": ("sum", value_col), "cnt": ("count", None)}
+    if on_late not in ("assume_ordered", "drop", "buffer"):
+        raise ValueError(f"unknown on_late policy {on_late!r}")
     st = spark.read.format("statestore").option("path", checkpoint).load()
+    if on_late == "buffer":
+        return _flush_cb_buffered(st, key, spec, aggs)
     gs = st.select(
         F.col(f"key.{key}").alias(key),
         F.col("value.groupState.wids").alias("wids"),
@@ -469,13 +521,8 @@ def flush_cb_partials(
     )
     out_cols, pos = [], 0
     for name, (op, _c) in aggs.items():
-        n_slots, _k, _m, _f, sql_t = _CB_OPS[op]
-        col = (
-            F.col("_p")[pos] / F.col("_p")[pos + 1]
-            if op == "mean"
-            else F.col("_p")[pos]
-        )
-        out_cols.append(col.cast(sql_t).alias(name))
+        n_slots, _k, _m, _f, sql_t, cat_fin = _CB_OPS[op]
+        out_cols.append(cat_fin(F.col("_p"), pos).cast(sql_t).alias(name))
         pos += n_slots
     return ex.select(
         key,
@@ -483,6 +530,64 @@ def flush_cb_partials(
         *out_cols,
         (F.col(GWID) * spec.slide + spec.win - 1).cast("long").alias("win_end"),
     )
+
+
+def _flush_cb_buffered(st: DataFrame, key: str, spec: WinSpec, aggs: dict) -> DataFrame:
+    """Buffered-drain EOS flush: fold each key's ripe buffered span
+    into its open windows (shared kernel + the processor's exact
+    last_id/dedup rule), then finalize everything left open. One state
+    row per key → mapInPandas, no exchange."""
+    import numpy as np
+
+    win, slide = spec.win, spec.slide
+    in_cols = sorted({c for _, c in aggs.values() if c is not None})
+    out_cols = ", ".join(f"{n} {_CB_OPS[op][4]}" for n, (op, _c) in aggs.items())
+    out_schema = f"{key} string, gwid long, {out_cols}, win_end long"
+    fold = _make_cb_fold(win, slide, aggs, in_cols)
+    names = [key, "gwid", *aggs.keys(), "win_end"]
+
+    gs = st.select(
+        F.col(f"key.{key}").alias(key),
+        F.col("value.groupState.wids").alias("wids"),
+        F.col("value.groupState.parts").alias("parts"),
+        F.col("value.groupState.last_id").alias("last_id"),
+        F.col("value.groupState.buf_ids").alias("buf_ids"),
+        F.col("value.groupState.buf_vals").alias("buf_vals"),
+    )
+
+    def flush(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                open_w = {int(w): list(p) for w, p in zip(row.wids, row.parts)}
+                fired = []
+                bi = np.asarray(row.buf_ids, dtype=np.int64)
+                if len(bi):
+                    bv = {c: np.asarray(v, dtype=np.float64)
+                          for c, v in zip(in_cols, row.buf_vals)}
+                    order = np.argsort(bi, kind="stable")
+                    bi = bi[order]
+                    bv = {c: v[order] for c, v in bv.items()}
+                    keep = bi > row.last_id
+                    bi = bi[keep]
+                    bv = {c: v[keep] for c, v in bv.items()}
+                    if len(bi):
+                        uniq = np.concatenate([[True], bi[1:] != bi[:-1]])
+                        bi = bi[uniq]
+                        bv = {c: v[uniq] for c, v in bv.items()}
+                        fired += fold(bi, bv, open_w)
+                for w, part in sorted(open_w.items()):
+                    outs, pos = [], 0
+                    for op, _c in aggs.values():
+                        ns = _CB_OPS[op][0]
+                        outs.append(_CB_OPS[op][3](part[pos:pos + ns]))
+                        pos += ns
+                    fired.append((w, *outs, w * slide + win - 1))
+                recs += [(getattr(row, key), *r) for r in sorted(fired)]
+            if recs:
+                yield pd.DataFrame(recs, columns=names)
+
+    return gs.mapInPandas(flush, out_schema)
 
 
 #: Catalyst aggregation-buffer layout per declared op (slots appear in
@@ -564,6 +669,80 @@ def flush_tb_partials(
         (F.unix_micros(F.col("_wstart")) / F.lit(spec.slide * micros_per))
         .cast("long")
         .alias(GWID),
+    )
+
+
+def flush_session_partials(
+    spark: SparkSession,
+    checkpoint: str,
+    keys: Sequence[str],
+    aggs: dict[str, str],
+) -> DataFrame:
+    """EOS flush of unemitted SESSION windows after an append-mode
+    drain — the session arm of the eosnotify rule (win_seq.hpp:432-474),
+    completing the symmetry with ``flush_cb_partials`` (count windows)
+    and ``flush_tb_partials`` (time windows): append mode emits a
+    session only once the watermark passes its end, so the trailing
+    watermark-delay span of sessions is still in the session-merge
+    state when an ``availableNow`` drain stops.
+
+    The statestore data source reads that state as one row per open
+    session — key = (group keys, sessionStartTime), value = (group
+    keys, session_window struct, then the Catalyst aggregation BUFFERS
+    in agg declaration order, avg = (sum, count)) — and because Spark
+    emits-and-evicts closed sessions in the same micro-batch, what
+    remains IS exactly the unemitted set: emitted ∪ flushed == the
+    batch session output, row for row (gate: streaming_session_eos).
+
+    ``aggs`` maps each output name to its declared op (sum/count/min/
+    max/avg), mirroring the dict passed to ``stream_session`` — same
+    contract as ``flush_tb_partials``. Buffer field names duplicate
+    across aggs, so the value struct is cast POSITIONALLY to
+    uniquely-named slots (types taken from the checkpoint's own
+    schema). Output matches ``stream_session``: (keys…, aggs…,
+    session_start, session_end_excl). Pure scan + projection; run
+    after the drain query has stopped."""
+    for name, op in aggs.items():
+        if op not in _TB_BUFFER_SLOTS:
+            raise ValueError(
+                f"agg {name!r}: unknown op {op!r} (have {sorted(_TB_BUFFER_SLOTS)})"
+            )
+    st = spark.read.format("statestore").option("path", checkpoint).load()
+    vt = st.schema["value"].dataType
+    n_expected = len(keys) + 1 + sum(_TB_BUFFER_SLOTS[op] for op in aggs.values())
+    if len(vt.fields) != n_expected:
+        raise ValueError(
+            f"session state value has {len(vt.fields)} fields, expected "
+            f"{n_expected} for {len(keys)} keys + window + declared aggs "
+            "— pass the same keys/aggs the drain used"
+        )
+    slot_names = [f"_s{i}" for i in range(len(vt.fields))]
+    ddl = ", ".join(
+        f"{n}: {f.dataType.simpleString()}" for n, f in zip(slot_names, vt.fields)
+    )
+    flat = st.select(
+        *[F.col(f"key.{k}").alias(k) for k in keys],
+        F.col("value").cast(f"struct<{ddl}>").alias("_v"),
+    )
+    win_slot = slot_names[len(keys)]  # the session_window struct
+    out_cols, pos = [], len(keys) + 1
+    for name, op in aggs.items():
+        col = (
+            F.col(f"_v.{slot_names[pos]}") / F.col(f"_v.{slot_names[pos + 1]}")
+            if op == "avg"
+            else F.col(f"_v.{slot_names[pos]}")
+        )
+        out_cols.append(col.alias(name))
+        pos += _TB_BUFFER_SLOTS[op]
+    return flat.select(
+        *keys,
+        *out_cols,
+        F.unix_micros(F.col(f"_v.{win_slot}.start").cast("timestamp")).alias(
+            "session_start"
+        ),
+        F.unix_micros(F.col(f"_v.{win_slot}.end").cast("timestamp")).alias(
+            "session_end_excl"
+        ),
     )
 
 
