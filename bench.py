@@ -413,7 +413,7 @@ def _compact(a: dict) -> dict:
         c["scaling"] = {
             k: sc[k]
             for k in (
-                "efficiency_8_to_32", "headline_valid",
+                "efficiency_8_to_32", "headline_valid", "n_valid_pairs",
                 "efficiency_cross_window",
                 "efficiency_median_8_to_32", "control_cpu_eff_8_to_32",
                 "control_membw_eff_8_to_32", "control_memrand_eff_8_to_32",
@@ -678,7 +678,14 @@ def main() -> None:
         return
     if "--live" in sys.argv:
         i = sys.argv.index("--live")
-        rest = [int(x) for x in sys.argv[i + 1:i + 5]]
+        # consume argv tokens only while they parse as integers, so a
+        # short arg list followed by another flag doesn't crash
+        rest = []
+        for x in sys.argv[i + 1:i + 5]:
+            try:
+                rest.append(int(x))
+            except ValueError:
+                break
         cores = rest[0] if len(rest) > 0 else 8
         win_s = rest[1] if len(rest) > 1 else 5
         wm_s = rest[2] if len(rest) > 2 else 2
@@ -792,6 +799,23 @@ def main() -> None:
     run_streaming_section(artifact, emit, t_start)
 
 
+def _load_prev_full() -> dict:
+    """Process-start snapshot of the previous full artifact, taken at
+    import time — BEFORE any emit() can overwrite the file. Sections
+    that carry state across runs (scaling.runs_history) must read this
+    snapshot, never the live file (VERDICT r4 #3: a full run's battery
+    emit clobbered the file first, so the scaling section read back
+    its own historyless skeleton and 5 runs of history vanished)."""
+    p = REPO / "BENCH" / "latest_full.json"
+    try:
+        return json.loads(p.read_text()) if p.exists() else {}
+    except Exception:
+        return {}
+
+
+_PREV_FULL = _load_prev_full()
+
+
 def _make_emit(artifact: dict):
     # fast/verify runs (BENCH_FAST or a non-default SF) must not
     # clobber the curated full-SF artifact
@@ -814,47 +838,90 @@ PAIR_STEAL_CAP = 1000  # jiffies over a full sample subprocess ⇒ clean
 
 
 def headline_from_pairs(samples: list[dict], steal_cap: int = PAIR_STEAL_CAP,
-                        bw_tol: float = 1.2, bw_hold: float = 0.7) -> dict:
-    """Condition-matched headline estimator (VERDICT r3 #1): adjacent
-    (32, 8) sample pairs, each pair VALID only when (a) both sides'
-    steal is under ``steal_cap``, (b) their pre-sample bandwidth
-    probes agree within ``bw_tol``, and (c) each side's POST-sample
-    probe held at least ``bw_hold`` of its pre-sample probe — (a)+(b)
-    alone let r3 pair a 39k-steal 8-core sample with a clean 32-core
-    one (impossible 1.222), and (c) catches the other failure mode
-    observed in r4: host bandwidth collapsing MID-sample (pre 50.8 →
-    post 23.1 around a 32-core run that read 36% slow with clean steal
-    and matched pre-probes). Headline = max over valid pairs, clamped
-    at 1.0; with no valid pair, the median pair ships with
-    headline_valid=false."""
+                        bw_tol: float = 1.2, bw_hold: float = 0.7,
+                        mr_tol: float = 1.2, mr_hold: float = 0.7,
+                        coherence: float = 1.5) -> dict:
+    """Condition-matched headline estimator (VERDICT r3 #1, hardened
+    r5 per VERDICT r4 #2): adjacent (32, 8) sample pairs, each pair
+    VALID only when
+    (a) both sides' steal is under ``steal_cap``,
+    (b) their pre-sample bandwidth probes agree within ``bw_tol``,
+    (c) each side's POST-sample bandwidth probe held ≥ ``bw_hold`` of
+        its pre-sample probe (r4 failure: bandwidth collapsing
+        MID-sample, pre 50.8 → post 23.1, with clean steal),
+    (d) same agreement + hold on the RANDOM-ACCESS probes (mr_*,
+        Mhops/s from memrand_probe) when present — the r4 headline
+        shipped 0.271 off a 32-core sample whose slowness was
+        invisible to (a)-(c) because the degradation was memory
+        LATENCY, which the sequential bandwidth kernel can't see, and
+    (e) COHERENCE: neither side's wall time exceeds ``coherence`` ×
+        the fastest clean-steal sample of the same core count in the
+        run — the direct signature of the invisible degradation (r4:
+        t32 22.671 s against same-condition neighbors at 9.631/9.809).
+    Absent probes can't disprove and are accepted (back-compat with
+    r3/r4 sample records).
+
+    Headline = max over valid pairs, clamped at 1.0, and it is only
+    ``headline_valid`` when AT LEAST TWO pairs validate — a single
+    surviving pair is exactly the r4 artifact shape (one bad pair
+    outliving the filters), so with ≤ 1 valid pair the median over
+    ALL pairs ships with headline_valid=false and the run should be
+    retried (--scaling-only) in a quieter window."""
+    fastest: dict[int, float] = {}
+    for s in samples:
+        if s["steal_jiffies"] < steal_cap:
+            fastest[s["cores"]] = min(fastest.get(s["cores"], 1e18), s["sec"])
+
+    def _pre_match(s8, s32, key, tol):
+        vals = [s.get(key) for s in (s8, s32)]
+        if any(v is None for v in vals):
+            return True  # absent ⇒ can't disprove
+        lo, hi = sorted(vals)
+        return lo > 0 and hi / lo <= tol
+
+    def _held(s, pre_key, post_key, hold):
+        pre, post = s.get(pre_key), s.get(post_key)
+        if pre is None or post is None or pre <= 0:
+            return True  # absent ⇒ can't disprove
+        return post >= hold * pre
+
     pairs = []
     for i in range(1, len(samples)):
         a, b = samples[i - 1], samples[i]
         if {a["cores"], b["cores"]} == {8, 32}:
             s32 = a if a["cores"] == 32 else b
             s8 = b if b["cores"] == 8 else a
-            bws = sorted((s8["bw_pre_gbps"], s32["bw_pre_gbps"]))
-            held = all(  # absent post probe ⇒ can't disprove, accept
-                s["bw_probe_gbps"] >= bw_hold * s["bw_pre_gbps"]
+            coherent = all(
+                s["sec"] <= coherence * fastest.get(s["cores"], s["sec"])
                 for s in (s8, s32)
-                if s["bw_pre_gbps"] > 0 and s.get("bw_probe_gbps") is not None
             )
-            pairs.append({
+            p = {
                 "eff": round(s8["sec"] / (4 * s32["sec"]), 3),
                 "steal": [s8["steal_jiffies"], s32["steal_jiffies"]],
                 "bw_pre": [s8["bw_pre_gbps"], s32["bw_pre_gbps"]],
                 "bw_post": [s8.get("bw_probe_gbps"), s32.get("bw_probe_gbps")],
+                "coherent": coherent,
                 "valid": (
                     max(s8["steal_jiffies"], s32["steal_jiffies"]) < steal_cap
-                    and bws[0] > 0 and bws[1] / bws[0] <= bw_tol
-                    and held
+                    and _pre_match(s8, s32, "bw_pre_gbps", bw_tol)
+                    and all(_held(s, "bw_pre_gbps", "bw_probe_gbps", bw_hold)
+                            for s in (s8, s32))
+                    and _pre_match(s8, s32, "mr_pre_mhps", mr_tol)
+                    and all(_held(s, "mr_pre_mhps", "mr_post_mhps", mr_hold)
+                            for s in (s8, s32))
+                    and coherent
                 ),
-            })
+            }
+            if any(s.get("mr_pre_mhps") is not None for s in (s8, s32)):
+                p["mr_pre"] = [s8.get("mr_pre_mhps"), s32.get("mr_pre_mhps")]
+                p["mr_post"] = [s8.get("mr_post_mhps"), s32.get("mr_post_mhps")]
+            pairs.append(p)
     if not pairs:
         return {}
     out = {"pairs": pairs, "pair_steal_cap": steal_cap}
     valid = [p["eff"] for p in pairs if p["valid"]]
-    if valid:
+    out["n_valid_pairs"] = len(valid)
+    if len(valid) >= 2:
         out["efficiency_8_to_32"] = min(1.0, max(valid))
         out["headline_valid"] = True
     else:
@@ -873,23 +940,24 @@ def run_scaling_section(artifact: dict, emit, t_start: float) -> None:
     # cross-run scaling history accumulates (the host's invisible
     # degradation mode makes any single run an arbitrary point of a
     # wide range — see BENCH/BASELINE.md r4): carry runs_history from
-    # the previous artifact forward so a fresh full run can't erase it
-    prev_hist = {}
-    prev_path = REPO / "BENCH" / "latest_full.json"
-    if prev_path.exists():
-        try:
-            prev_hist = json.loads(prev_path.read_text()).get(
-                "scaling", {}).get("runs_history", {})
-        except Exception:
-            pass
+    # the PROCESS-START snapshot of the previous artifact — reading
+    # the file here is too late, emit() has already overwritten it
+    # during the battery/throughput sections (the r4 clobber,
+    # VERDICT r4 "what's wrong" #2)
+    prev_hist = dict(_PREV_FULL.get("scaling", {}).get("runs_history", {}))
     scaling: dict = {"samples": [], "runs_history": prev_hist, "note": (
         "best-of-N fresh JVMs; HEADLINE efficiency_8_to_32 = best "
         "VALID adjacent same-window (32,8) sample pair, clamped at "
         "1.0 — a pair is valid only when both sides' steal < "
-        "pair_steal_cap AND their bw_pre probes agree within 20% "
-        "(condition-matched; see 'pairs'); headline_valid=false means "
-        "no matched pair existed and the median pair shipped instead "
-        "(retry with --scaling-only in a quieter window). "
+        "pair_steal_cap, their bw_pre AND mr_pre probes agree within "
+        "20%, both sides' post-sample bw/mr probes held >= 0.7x pre "
+        "(mr_* = random-access Mhops/s, the latency axis the "
+        "sequential probe misses), and both wall times are coherent "
+        "(<= 1.5x the fastest clean same-core sample). "
+        "headline_valid requires >= 2 valid pairs — one surviving "
+        "pair is the r4 artifact shape, so <= 1 ships the median over "
+        "all pairs with headline_valid=false (retry --scaling-only "
+        "in a quieter window). "
         "efficiency_cross_window = best(t32_tput)/(4*best(t8_tput)); "
         "eff_median over per-sample "
         "throughputs. control_cpu = pure-CPU 8→32 ceiling (~1.0 ⇒ cores "
@@ -936,6 +1004,8 @@ def run_scaling_section(artifact: dict, emit, t_start: float) -> None:
         if time.time() - t_start > 2000 and 8 in best and 32 in best:
             break
         bw_pre = wait_quiet()
+        mr_pre = memrand_probe()  # random-access (latency) probe — the
+        # quantity the sequential bw probe misses (VERDICT r4 #2)
         out = subprocess.run(
             [sys.executable, __file__, "--single", str(cores), str(reps)],
             capture_output=True, text=True, timeout=1800,
@@ -954,7 +1024,9 @@ def run_scaling_section(artifact: dict, emit, t_start: float) -> None:
             {"cores": cores, "sec": round(r["sec"], 3),
              "steal_jiffies": r.get("steal_jiffies", -1),
              "bw_pre_gbps": bw_pre,
-             "bw_probe_gbps": bw_probe()}
+             "bw_probe_gbps": bw_probe(),
+             "mr_pre_mhps": mr_pre,
+             "mr_post_mhps": memrand_probe()}
         )
         if 8 in best and 32 in best:
             scaling["local8_events_per_sec"] = round(best[8])
@@ -991,6 +1063,26 @@ def run_scaling_section(artifact: dict, emit, t_start: float) -> None:
             # real N→4N cluster multiplies memory controllers too).
             scaling.update(headline_from_pairs(scaling["samples"]))
             emit()
+    # append THIS run to the carried history (r4 lesson: no single run
+    # is trustworthy alone — the record is the sequence), newest-last,
+    # bounded at 12 entries
+    if "efficiency_8_to_32" in scaling:
+        hist = scaling["runs_history"]
+        hist["run_" + time.strftime("%Y%m%d_%H%M%S")] = {
+            "headline": scaling["efficiency_8_to_32"],
+            "valid": scaling.get("headline_valid"),
+            "n_valid_pairs": scaling.get("n_valid_pairs"),
+            "cross_window": scaling.get("efficiency_cross_window"),
+            "median": scaling.get("efficiency_median_8_to_32"),
+            "controls": {
+                "cpu": scaling.get("control_cpu_eff_8_to_32"),
+                "membw": scaling.get("control_membw_eff_8_to_32"),
+                "memrand": scaling.get("control_memrand_eff_8_to_32"),
+            },
+        }
+        for k in list(hist)[:-12]:
+            del hist[k]
+        emit()
 
 
 def run_streaming_section(artifact: dict, emit, t_start: float) -> None:

@@ -17,6 +17,11 @@ def _s(cores, sec, steal, bw):
             "bw_pre_gbps": bw}
 
 
+def _s2(cores, sec, steal, bw_pre, bw_post):
+    return {"cores": cores, "sec": sec, "steal_jiffies": steal,
+            "bw_pre_gbps": bw_pre, "bw_probe_gbps": bw_post}
+
+
 R3_BAD_PAIR = [  # the actual r3 samples behind the 1.222 artifact
     _s(32, 14.044, 24357, 40.0),
     _s(8, 68.654, 39356, 41.0),
@@ -31,14 +36,74 @@ def test_r3_pathological_pair_is_invalid():
     assert r["efficiency_8_to_32"] <= 1.0  # clamped even in fallback
 
 
-def test_clean_pair_wins_over_mismatched():
+def test_clean_pairs_win_over_mismatched():
     samples = R3_BAD_PAIR + [
         _s(32, 7.2, 100, 45.0),
         _s(8, 20.5, 50, 46.0),
+        _s(32, 7.4, 80, 44.0),  # second clean window → 2 valid pairs
     ]
     r = headline_from_pairs(samples)
     assert r["headline_valid"] is True
-    assert r["efficiency_8_to_32"] == 0.712  # the clean pair, not the 1.2+
+    assert r["n_valid_pairs"] == 2
+    assert r["efficiency_8_to_32"] == 0.712  # best clean pair, not the 1.2+
+
+
+def test_single_valid_pair_ships_median_invalid():
+    """r4 'what's wrong' #1: exactly one pair surviving the filters is
+    the artifact shape itself — the headline must fall back to the
+    median over all pairs with headline_valid=false, never a
+    single-pair max."""
+    samples = R3_BAD_PAIR + [
+        _s(32, 7.2, 100, 45.0),
+        _s(8, 20.5, 50, 46.0),  # the ONLY valid pair (eff 0.712)
+    ]
+    r = headline_from_pairs(samples)
+    assert r["n_valid_pairs"] == 1
+    assert r["headline_valid"] is False
+
+
+R4_DRIVER_SAMPLES = [  # the literal r4 driver capture behind the 0.271
+    _s2(32, 9.631, 229, 50.4, 56.6),
+    _s2(8, 20.970, 58, 55.9, 36.5),
+    _s2(32, 9.809, 82, 54.9, 56.1),
+    _s2(8, 26.705, 315, 54.1, 26.1),
+    _s2(32, 22.671, 429, 56.6, 50.4),
+    _s2(8, 24.590, 32, 54.1, 54.8),
+]
+
+
+def test_r4_incoherent_32core_outlier_cannot_headline():
+    """The r4 record bug: the one 'valid' pair used a 32-core sample
+    that ran 22.671 s where same-condition neighbors ran 9.631/9.809 —
+    invisible to steal + both bandwidth probes. The coherence check
+    (side time ≤ 1.5× fastest clean same-core sample) kills that pair,
+    and the ≤1-valid rule ships the median (0.534 — inside the run's
+    honest 0.53-0.68 band) flagged invalid instead of 0.271 'valid'."""
+    r = headline_from_pairs(R4_DRIVER_SAMPLES)
+    bad = [p for p in r["pairs"] if abs(p["eff"] - 0.271) < 1e-9][0]
+    assert bad["coherent"] is False and bad["valid"] is False
+    assert r["n_valid_pairs"] == 0
+    assert r["headline_valid"] is False
+    assert abs(r["efficiency_8_to_32"] - 0.534) < 1e-9
+
+
+def test_memrand_probe_mismatch_invalidates():
+    """Condition (d): a pair whose random-access probes disagree (or
+    collapse mid-sample) is invalid even with clean steal, matched
+    bandwidth, and coherent times."""
+    base = dict(cores=32, sec=8.0, steal_jiffies=10, bw_pre_gbps=45.0,
+                bw_probe_gbps=46.0, mr_pre_mhps=500.0, mr_post_mhps=490.0)
+    s8 = dict(base, cores=8, sec=22.0, mr_pre_mhps=510.0, mr_post_mhps=505.0)
+    ok = headline_from_pairs([dict(base), dict(s8), dict(base)])
+    assert ok["n_valid_pairs"] == 2 and ok["headline_valid"] is True
+    # 32-core side's mr collapsed mid-sample → both its pairs die
+    collapsed = dict(base, mr_post_mhps=200.0)
+    r = headline_from_pairs([collapsed, dict(s8), collapsed])
+    assert r["n_valid_pairs"] == 0 and r["headline_valid"] is False
+    # pre-probe mismatch between the sides → invalid too
+    skewed = dict(base, mr_pre_mhps=300.0, mr_post_mhps=295.0)
+    r2 = headline_from_pairs([skewed, dict(s8), skewed])
+    assert r2["n_valid_pairs"] == 0 and r2["headline_valid"] is False
 
 
 def test_bw_mismatch_invalidates_even_with_low_steal():
@@ -62,11 +127,6 @@ def test_headline_clamps_at_one():
 def test_non_adjacent_same_size_samples_make_no_pair():
     r = headline_from_pairs([_s(32, 7.0, 10, 45.0), _s(32, 7.1, 10, 45.0)])
     assert r == {}
-
-
-def _s2(cores, sec, steal, bw_pre, bw_post):
-    return {"cores": cores, "sec": sec, "steal_jiffies": steal,
-            "bw_pre_gbps": bw_pre, "bw_probe_gbps": bw_post}
 
 
 def test_mid_sample_bandwidth_collapse_invalidates():
