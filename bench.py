@@ -542,6 +542,7 @@ def run_live_latency(
     rows_per_file: int = 2000,
     file_every_s: float = 0.25,
     trigger_ms: int = 500,
+    state_store: str = "rocksdb",
 ) -> None:
     """True window-emit latency on a live feed (VERDICT r2 #8 /
     BASELINE.md metric 2): parquet files appended on a WALL clock with
@@ -568,9 +569,18 @@ def run_live_latency(
     from windflow_spark.session import get_spark
     from windflow_spark.streaming import engine as se
 
+    # state-store A/B (BASELINE.md "measure & report"): extra_conf is
+    # applied after the streaming block, so "hdfs" overrides the
+    # RocksDB provider back to the in-memory/HDFS-backed default —
+    # viable at this toy state size, the contrast the A/B measures
     spark = get_spark(
         "windflow-live-latency", master=f"local[{cores}]",
         shuffle_partitions=cores, streaming=True,
+        extra_conf={
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "HDFSBackedStateStoreProvider"
+        } if state_store == "hdfs" else None,
     )
     feed = tempfile.mkdtemp(prefix="wf_live_feed_")
     ckpt = tempfile.mkdtemp(prefix="wf_live_ckpt_")
@@ -648,6 +658,7 @@ def run_live_latency(
     )
     res = {
         "cores": cores,
+        "state_store": state_store,
         "n_windows": len(lats),
         "win_s": win_s,
         "watermark_s": wm_s,
@@ -690,7 +701,14 @@ def main() -> None:
         win_s = rest[1] if len(rest) > 1 else 5
         wm_s = rest[2] if len(rest) > 2 else 2
         trig = rest[3] if len(rest) > 3 else 500
-        run_live_latency(cores, win_s=win_s, wm_s=wm_s, trigger_ms=trig)
+        j = i + 1 + len(rest)
+        store = (
+            sys.argv[j]
+            if j < len(sys.argv) and sys.argv[j] in ("rocksdb", "hdfs")
+            else "rocksdb"
+        )
+        run_live_latency(cores, win_s=win_s, wm_s=wm_s, trigger_ms=trig,
+                         state_store=store)
         return
     if "--scaling-only" in sys.argv or "--stream-only" in sys.argv:
         # re-run ONLY one section (e.g. to retry in a quieter host
@@ -1106,17 +1124,25 @@ def run_streaming_section(artifact: dict, emit, t_start: float) -> None:
         if time.time() - t_start > 1900:
             break
     # true window-emit latency on a live wall-clock feed (fresh JVM per
-    # config, latency-focused: 8 cores, small windows). A small
-    # window × watermark × trigger sweep (VERDICT r3 #7) characterizes
-    # the latency floor: emit latency ≈ watermark delay + trigger
-    # cadence + batch time by construction, so the sweep shows which
-    # term binds at each setting. The (5 s, 2 s, 500 ms) row is the
-    # headline (same config as r2/r3 for comparability).
+    # config). A (cores × window × watermark × trigger × state-store)
+    # sweep (VERDICT r3 #7, corners completed per VERDICT r4 #8)
+    # characterizes the latency floor: emit latency ≈ watermark delay
+    # + trigger cadence + batch time by construction, so the sweep
+    # shows which term binds at each setting. The (8, 5 s, 2 s,
+    # 500 ms, rocksdb) row is the headline (same config as r2-r4);
+    # the same row on hdfs is the state-store A/B, and the 32-core
+    # 1 s-watermark row probes the floor at full parallelism.
     grid = []
-    for win_s, wm_s, trig_ms in ((5, 2, 500), (5, 1, 250), (10, 2, 1000)):
+    for cores, win_s, wm_s, trig_ms, store in (
+        (8, 5, 2, 500, "rocksdb"),
+        (8, 5, 1, 250, "rocksdb"),
+        (8, 10, 2, 1000, "rocksdb"),
+        (32, 5, 1, 500, "rocksdb"),
+        (8, 5, 2, 500, "hdfs"),
+    ):
         out = subprocess.run(
-            [sys.executable, __file__, "--live", "8",
-             str(win_s), str(wm_s), str(trig_ms)],
+            [sys.executable, __file__, "--live", str(cores),
+             str(win_s), str(wm_s), str(trig_ms), store],
             capture_output=True, text=True, timeout=600, cwd=str(REPO),
             env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
         )
@@ -1124,7 +1150,7 @@ def run_streaming_section(artifact: dict, emit, t_start: float) -> None:
         if lines:
             live = json.loads(lines[-1])
             grid.append(live)
-            if (win_s, wm_s, trig_ms) == (5, 2, 500):
+            if (cores, win_s, wm_s, trig_ms, store) == (8, 5, 2, 500, "rocksdb"):
                 artifact["streaming"]["emit_latency"] = live
                 artifact["streaming"]["emit_p50_ms"] = live.get("emit_p50_ms")
                 artifact["streaming"]["emit_p99_ms"] = live.get("emit_p99_ms")
