@@ -1,0 +1,78 @@
+"""The spark-submit entrypoint driven end-to-end (north rule: job runs
+via `spark-submit --py-files`, drains exactly-once, and EOS-flushes
+partial windows from the checkpoint state). One real spark-submit JVM
+per mode is slow (~30 s), so only the tumbling mode runs here; the cb
+and session modes exercise the same drain/flush code paths through
+test_streaming's unit tests and the streaming_*_eos gate queries."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import zipfile
+from pathlib import Path
+
+import pytest
+
+import datagen
+
+SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not on this image"
+)
+def test_job_drains_and_flushes_to_batch_parity(tmp_path):
+    pdf = datagen.gen_transcripts(n_convs=10, seed=11, mean_turns=20)
+    (tmp_path / "in").mkdir()
+    datagen.write_parquet_us(pdf, str(tmp_path / "in" / "part-0.parquet"))
+
+    zip_path = tmp_path / "wf.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for p in (REPO / "windflow_spark").rglob("*.py"):
+            z.write(p, p.relative_to(REPO))
+
+    out = subprocess.run(
+        [
+            SPARK_SUBMIT, "--master", "local[4]", "--py-files", str(zip_path),
+            str(REPO / "jobs" / "run_pipeline.py"),
+            "--input", str(tmp_path / "in"),
+            "--output", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--mode", "tumbling", "--win", "60",
+            "--watermark", "10 seconds", "--once", "--flush-partials",
+            "--timeout", "300",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=str(REPO),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "drained; sink rows" in out.stdout
+    assert "flushed partial windows" in out.stdout
+
+    # emitted ∪ flushed == the batch tumbling aggregate (eosnotify
+    # parity, win_seq.hpp:432-474), checked in-process
+    from pyspark.sql import functions as F
+
+    from tests.conftest import assert_frames_equal
+    from windflow_spark.operators.windows import WinSpec, epoch_us, win_seq
+    from windflow_spark.session import get_spark
+
+    spark = get_spark("job-parity", master="local[4]", shuffle_partitions=4)
+    emitted = spark.read.parquet(str(tmp_path / "out"))
+    flushed = spark.read.parquet(str(tmp_path / "out_partials"))
+    cols = ["conv_id", "gwid", "cnt", "sum_len"]
+    got = emitted.select(*cols).unionByName(flushed.select(*cols)).toPandas()
+    batch = spark.read.parquet(str(tmp_path / "in")).withColumn(
+        "text_len", F.length("text")
+    )
+    want = win_seq(
+        batch.withColumn("us", epoch_us("ts")), ["conv_id"], "us",
+        WinSpec("tb", 60_000_000, 60_000_000),
+        aggs={"cnt": F.count(F.lit(1)), "sum_len": F.sum("text_len")},
+        with_win_end=False,
+    ).toPandas()[cols]
+    assert len(got) > 0
+    assert_frames_equal(got, want, ["conv_id", "gwid"])
+    shutil.rmtree(tmp_path, ignore_errors=True)
