@@ -34,22 +34,31 @@ def test_job_drains_and_flushes_to_batch_parity(tmp_path):
         for p in (REPO / "windflow_spark").rglob("*.py"):
             z.write(p, p.relative_to(REPO))
 
-    out = subprocess.run(
-        [
-            SPARK_SUBMIT, "--master", "local[4]", "--py-files", str(zip_path),
-            str(REPO / "jobs" / "run_pipeline.py"),
-            "--input", str(tmp_path / "in"),
-            "--output", str(tmp_path / "out"),
-            "--checkpoint", str(tmp_path / "ckpt"),
-            "--mode", "tumbling", "--win", "60",
-            "--watermark", "10 seconds", "--once", "--flush-partials",
-            "--timeout", "300",
-        ],
-        capture_output=True, text=True, timeout=600, cwd=str(REPO),
-    )
+    cmd = [
+        SPARK_SUBMIT, "--master", "local[4]", "--py-files", str(zip_path),
+        str(REPO / "jobs" / "run_pipeline.py"),
+        "--input", str(tmp_path / "in"),
+        "--output", str(tmp_path / "out"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--mode", "tumbling", "--win", "60",
+        "--watermark", "10 seconds", "--once", "--flush-partials",
+        "--timeout", "300",
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
+                         cwd=str(REPO))
     assert out.returncode == 0, out.stderr[-2000:]
     assert "drained; sink rows" in out.stdout
     assert "flushed partial windows" in out.stdout
+    first = [l for l in out.stdout.splitlines() if "drained; sink rows" in l]
+
+    # re-running against the SAME checkpoint resumes exactly-once: the
+    # backlog is already committed, so the sink row count is unchanged
+    # and the re-derived flush is idempotent (overwrite mode)
+    out2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
+                          cwd=str(REPO))
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    second = [l for l in out2.stdout.splitlines() if "drained; sink rows" in l]
+    assert first == second, (first, second)
 
     # emitted ∪ flushed == the batch tumbling aggregate (eosnotify
     # parity, win_seq.hpp:432-474), checked in-process
