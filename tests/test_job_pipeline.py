@@ -68,7 +68,12 @@ def test_job_drains_and_flushes_to_batch_parity(tmp_path):
     from windflow_spark.operators.windows import WinSpec, epoch_us, win_seq
     from windflow_spark.session import get_spark
 
-    spark = get_spark("job-parity", master="local[4]", shuffle_partitions=4)
+    # streaming=True even though this is a batch read: if this test
+    # creates the process's FIRST SparkSession without the RocksDB
+    # state-store configs, every later streaming test's getOrCreate()
+    # silently inherits the non-production HDFS backend
+    spark = get_spark("job-parity", master="local[4]", shuffle_partitions=4,
+                      streaming=True)
     emitted = spark.read.parquet(str(tmp_path / "out"))
     flushed = spark.read.parquet(str(tmp_path / "out_partials"))
     cols = ["conv_id", "gwid", "cnt", "sum_len"]

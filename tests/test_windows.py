@@ -332,6 +332,9 @@ def test_pane_topk_and_quantile_ignore_null_order_values(spark):
     q1 = q[q["gwid"] == 1].iloc[0]
     assert q1["cnt"] == 3  # non-null rows only
     assert not _math.isnan(q1["est"]) and q1["est"] == 7.0
+
+
+def test_pane_quantile_brackets_exact_discrete_quantile(spark):
     """pane_quantile's lower bucket edge brackets the exact type-1
     quantile within one bucket_width on EVERY window, and the merged
     counts are exact."""

@@ -596,6 +596,25 @@ def _flush_cb_buffered(st: DataFrame, key: str, spec: WinSpec, aggs: dict) -> Da
 _TB_BUFFER_SLOTS = {"count": 1, "sum": 1, "min": 1, "max": 1, "avg": 2}
 
 
+def _agg_buffer_cols(aggs: dict[str, str], slot_names: Sequence[str],
+                     offset: int = 0) -> list[Column]:
+    """Project declared-op aggregation buffers out of a positionally
+    renamed state value struct ``_v`` — the decode loop shared by the
+    TB and session eosnotify arms so the slot walk can't diverge
+    between them: one output column per agg, avg = sum/count over its
+    slot pair, starting at ``offset`` slots in."""
+    out, pos = [], offset
+    for name, op in aggs.items():
+        col = (
+            F.col(f"_v.{slot_names[pos]}") / F.col(f"_v.{slot_names[pos + 1]}")
+            if op == "avg"
+            else F.col(f"_v.{slot_names[pos]}")
+        )
+        out.append(col.alias(name))
+        pos += _TB_BUFFER_SLOTS[op]
+    return out
+
+
 def flush_tb_partials(
     spark: SparkSession,
     checkpoint: str,
@@ -654,18 +673,9 @@ def flush_tb_partials(
         F.col("key.window.start").alias("_wstart"),
         F.col("value").cast(f"struct<{ddl}>").alias("_v"),
     )
-    out_cols, pos = [], 0
-    for name, op in aggs.items():
-        col = (
-            F.col(f"_v.{slot_names[pos]}") / F.col(f"_v.{slot_names[pos + 1]}")
-            if op == "avg"
-            else F.col(f"_v.{slot_names[pos]}")
-        )
-        out_cols.append(col.alias(name))
-        pos += _TB_BUFFER_SLOTS[op]
     return flat.select(
         *keys,
-        *out_cols,
+        *_agg_buffer_cols(aggs, slot_names),
         (F.unix_micros(F.col("_wstart")) / F.lit(spec.slide * micros_per))
         .cast("long")
         .alias(GWID),
@@ -725,18 +735,9 @@ def flush_session_partials(
         F.col("value").cast(f"struct<{ddl}>").alias("_v"),
     )
     win_slot = slot_names[len(keys)]  # the session_window struct
-    out_cols, pos = [], len(keys) + 1
-    for name, op in aggs.items():
-        col = (
-            F.col(f"_v.{slot_names[pos]}") / F.col(f"_v.{slot_names[pos + 1]}")
-            if op == "avg"
-            else F.col(f"_v.{slot_names[pos]}")
-        )
-        out_cols.append(col.alias(name))
-        pos += _TB_BUFFER_SLOTS[op]
     return flat.select(
         *keys,
-        *out_cols,
+        *_agg_buffer_cols(aggs, slot_names, offset=len(keys) + 1),
         F.unix_micros(F.col(f"_v.{win_slot}.start").cast("timestamp")).alias(
             "session_start"
         ),
