@@ -696,15 +696,17 @@ def test_stream_cb_eos_flush_restores_batch_parity(spark, tx_path, tdir):
     an availableNow drain, flush_cb_partials reads the still-open
     windows back from the checkpoint's state store and finalizes them —
     fired ∪ flushed == the batch win_seq result INCLUDING partial
-    windows, across the full sum/count/min/max/mean registry and a
-    sliding spec (every open window of every key, not just the last)."""
+    windows, across the FULL registry — sum/count/min/max/mean plus
+    the non-scalar argmax, whose Catalyst finalizer projects the id
+    slot out of the persisted (value, id) pair — on a sliding spec
+    (every open window of every key, not just the last)."""
     schema = _schema(spark, tx_path)
     src = se.stream_source(spark, tx_path, schema, max_files_per_trigger=1)
     spec = WinSpec("cb", 10, 5)
     aggs = {
         "s": ("sum", "text_len"), "c": ("count", None),
         "mn": ("min", "text_len"), "mx": ("max", "text_len"),
-        "avg": ("mean", "text_len"),
+        "avg": ("mean", "text_len"), "am": ("argmax", "text_len"),
     }
     stream = se.stream_cb_windows(
         src.withColumn("text_len", F.length("text").cast("double")),
@@ -726,9 +728,13 @@ def test_stream_cb_eos_flush_restores_batch_parity(spark, tx_path, tdir):
             "s": F.sum("text_len"), "c": F.count(F.lit(1)),
             "mn": F.min("text_len"), "mx": F.max("text_len"),
             "avg": F.avg("text_len"),
+            "_mb": F.max(F.struct(
+                F.col("text_len").alias("v"),
+                (-F.col("turn_idx")).alias("ni"),
+            )),
         },
-    ).toPandas()
-    cols = ["conv_id", "gwid", "s", "c", "mn", "mx", "avg", "win_end"]
+    ).withColumn("am", (-F.col("_mb.ni")).cast("long")).drop("_mb").toPandas()
+    cols = ["conv_id", "gwid", "s", "c", "mn", "mx", "avg", "am", "win_end"]
     assert_frames_equal(got[cols], want[cols], ["conv_id", "gwid"])
 
 
