@@ -109,6 +109,37 @@ def test_ranked_topk_partial_before_shuffle(spark):
         assert 0 <= i_win < i_ex < i_map, plan
 
 
+def test_jaccard_candidates_no_shingle_self_join(spark):
+    """With candidates=, the Jaccard verification must build the
+    intersection FROM the candidate pairs (joins keyed on id_a /
+    (id_b, shingle)) — NEVER the inverted-index self-join keyed on
+    shingle alone. A shingle-sole-key exchange is the signature of the
+    posting-list-quadratic plan (its cost is sum of squared posting
+    lists regardless of how small the candidate set is)."""
+    import re
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    cands = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    df = dedup.ngram_jaccard_pairs(sh, "doc_id", threshold=0.0,
+                                   candidates=cands)
+    # the quadratic plan's signature: a join (any strategy — broadcast
+    # at small SF, sort-merge at scale) keyed on shingle ALONE on both
+    # sides, or an exchange partitioned on shingle alone
+    quad = re.compile(
+        r"Join \[shingle#\d+\], \[shingle#\d+\]"
+        r"|hashpartitioning\(shingle#\d+, \d+\)"
+    )
+    plan = audit.physical_plan(df)
+    assert not quad.search(plan), plan
+    # sanity: the unrestricted path DOES carry the shingle-keyed
+    # self-join, so the pattern above is actually discriminating
+    full = dedup.ngram_jaccard_pairs(sh, "doc_id", threshold=0.0)
+    assert quad.search(audit.physical_plan(full))
+
+
 def test_stateless_chain_fuses(spark, events):
     """Map→Filter→FlatMap fuses into whole-stage codegen (the
     reference's operator chaining, multipipe.hpp:243-271 — free here)."""

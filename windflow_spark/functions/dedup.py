@@ -230,16 +230,28 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Jaccard similarity on distinct shingle sets for pairs (a < b).
 
-    With ``candidates`` (e.g. LSH output) the join is restricted to
-    candidate pairs — the scale path. Without, an inverted-index
-    self-join on shingle (never a raw cross join; cost ~ sum of squared
-    posting-list lengths) — which is quadratic in posting-list length,
-    so ONE stop-shingle ("of the and") blows up at scale. ``max_df``
-    caps that: shingles appearing in more than ``max_df`` docs are
-    dropped from the shingle sets entirely (sizes AND intersections —
-    Jaccard over the filtered sets stays self-consistent), bounding
-    every posting list at max_df. At 100 TB pass either ``candidates``
-    or ``max_df``; the unbounded path is for small corpora."""
+    With ``candidates`` (e.g. LSH output) the intersection is built
+    FROM the candidate pairs — explode each pair against doc a's
+    shingles (equi-join on id_a), then match doc b's shingles (equi-
+    join on (id_b, shingle)), then count — so the physical plan never
+    contains a shingle-keyed self-join and the cost is
+    O(candidate_pairs × shingles/doc). (An earlier version semi-
+    filtered AFTER the full inverted-index self-join; Catalyst cannot
+    push a two-sided semi condition below a join, so the quadratic
+    join still executed — plan-asserted against in test_plans.py.)
+    Candidate pairs are normalized defensively (id_a < id_b, distinct)
+    because duplicates would inflate intersection counts — the pair
+    table is tiny next to the corpus, so the extra exchange is noise.
+
+    Without ``candidates``, an inverted-index self-join on shingle
+    (never a raw cross join; cost ~ sum of squared posting-list
+    lengths) — which is quadratic in posting-list length, so ONE
+    stop-shingle ("of the and") blows up at scale. ``max_df`` caps
+    that: shingles appearing in more than ``max_df`` docs are dropped
+    from the shingle sets entirely (sizes AND intersections — Jaccard
+    over the filtered sets stays self-consistent), bounding every
+    posting list at max_df. At 100 TB pass either ``candidates`` or
+    ``max_df``; the unbounded path is for small corpora."""
     if max_df is not None:
         rare = (
             shingled.groupBy("shingle")
@@ -248,20 +260,34 @@ def ngram_jaccard_pairs(
         )
         shingled = shingled.join(rare, "shingle", "left_semi")
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = shingled.alias("a"), shingled.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        cand = (
+            candidates.select("id_a", "id_b")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .distinct()
+        )
+        sha = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+        shb = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            cand.join(sha, "id_a")
+            .join(shb, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        a, b = shingled.alias("a"), shingled.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -298,14 +324,16 @@ def dedup_keep_list(
     wins). Returns (id, keep boolean) for every input doc.
 
     Scale shape: every stage is the bounded-shuffle primitive it
-    composes — no all-pairs join anywhere; the verification join only
-    touches LSH candidate pairs; the final decision is one left join on
-    the id. Not a transitive closure: chains longer than the LSH
+    composes — no all-pairs join anywhere; the verification stage
+    builds intersections FROM the LSH candidate pairs (cost
+    O(candidates × shingles/doc), never a shingle-keyed self-join);
+    the final decision is one left join on the id. Not a transitive closure: chains longer than the LSH
     candidate reach keep their local survivors (the standard greedy
     approximation; exact clustering needs iterative components).
 
     ``persist``: the shingle table feeds four branches (signatures,
-    set sizes, both self-join sides) and Spark's exchange reuse does
+    set sizes, both verification probe sides) and Spark's exchange
+    reuse does
     NOT unify them — without persistence the corpus is tokenized and
     scanned per branch. Default persists shingles MEMORY_AND_DISK
     (≈ shingle-count × avg-shingle bytes; at extreme scale prefer
