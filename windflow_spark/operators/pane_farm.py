@@ -28,7 +28,9 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from windflow_spark.operators.windows import GWID, WinSpec, assign_wids, win_end_expr
+from windflow_spark.operators.windows import (
+    GWID, WinSpec, assign_wids, floordiv, win_end_expr,
+)
 
 
 #: simple decomposable aggregates sliding_agg can auto-split
@@ -141,7 +143,7 @@ def pane_farm(
     t = (F.expr(unit_col) if isinstance(unit_col, str) else unit_col).cast("long") - F.lit(origin)
     # PLQ: tumbling panes win=slide=pane_len (includes/pane_farm.hpp:152-163)
     panes = (
-        df.withColumn("_pane", F.floor(t / F.lit(pane)))
+        df.withColumn("_pane", floordiv(t, pane))
         .groupBy(*keys, "_pane")
         .agg(*[c.alias(n) for n, c in partial_aggs.items()])
     )
@@ -206,7 +208,7 @@ def pane_topk(
         F.col(id_col).cast("long").alias("_id"),
     )
     panes = (
-        df.withColumn("_pane", F.floor(t / F.lit(pane)))
+        df.withColumn("_pane", floordiv(t, pane))
         .groupBy(*keys, "_pane")
         .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("_top"))
     )
@@ -276,7 +278,7 @@ def pane_quantile(
     )
     t = (F.expr(unit_col) if isinstance(unit_col, str) else unit_col).cast("long") - F.lit(origin)
     hist = (
-        df.withColumn("_pane", F.floor(t / F.lit(pane)))
+        df.withColumn("_pane", floordiv(t, pane))
         .withColumn("_b", F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long"))
         .groupBy(*keys, "_pane", "_b")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -348,7 +350,7 @@ def hierarchical_rollup(
             raise ValueError(f"granularity {b} not a multiple of {a}")
     t = (F.expr(unit_col) if isinstance(unit_col, str) else unit_col).cast("long") - F.lit(origin)
     prev = (
-        df.withColumn("_g", F.floor(t / F.lit(gs[0])))
+        df.withColumn("_g", floordiv(t, gs[0]))
         .groupBy(*keys, "_g")
         .agg(*[c.alias(n) for n, c in partial_aggs.items()])
     )
@@ -357,7 +359,7 @@ def hierarchical_rollup(
     for g in gs:
         if g != prev_g:
             prev = (
-                prev.withColumn("_g", F.floor(F.col("_g") / F.lit(g // prev_g)))
+                prev.withColumn("_g", floordiv(F.col("_g"), g // prev_g))
                 .groupBy(*keys, "_g")
                 .agg(*[c.alias(n) for n, c in combine_aggs.items()])
             )

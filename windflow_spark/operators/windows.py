@@ -79,6 +79,19 @@ def _unit(col: Column | str) -> Column:
     return F.expr(col) if isinstance(col, str) else col
 
 
+def floordiv(a: Column, b: Column | int) -> Column:
+    """Exact floor division on 64-bit integers. ``F.floor(a / b)`` goes
+    through DOUBLE division, which is silently lossy past 2^53 — fine
+    for microsecond epochs (~1.8e15) but wrong if a caller feeds
+    nanosecond units (~1.8e18). This stays integral end-to-end:
+    ``a - pmod(a, b)`` is the largest multiple of b ≤ a (pmod is
+    non-negative), and SQL ``div`` of an exact multiple is exact.
+    Requires ``b > 0`` (win/slide/pane are validated positive)."""
+    bl = (F.lit(b) if isinstance(b, int) else b).cast("long")
+    al = a.cast("long")
+    return F.call_function("div", al - F.pmod(al, bl), bl)
+
+
 def epoch_us(col: Column | str) -> Column:
     """Event time as integer microseconds since the epoch — the TB window
     unit. Handles TIMESTAMP_NTZ (what parquet scans yield) by casting to
@@ -106,11 +119,13 @@ def assign_wids(
     wid range and are discarded (includes/win_seq.hpp:326-338).
     """
     t = _unit(unit_col).cast("long") - F.lit(origin).cast("long")
-    win, slide = F.lit(spec.win).cast("long"), F.lit(spec.slide).cast("long")
+    win = F.lit(spec.win).cast("long")
     if spec.tumbling:
-        return df.withColumn(gwid_col, F.floor(t / slide))
-    last = F.floor(t / slide)
-    first = F.greatest(F.lit(0).cast("long"), F.floor((t - win) / slide) + F.lit(1))
+        return df.withColumn(gwid_col, floordiv(t, spec.slide))
+    last = floordiv(t, spec.slide)
+    first = F.greatest(
+        F.lit(0).cast("long"), floordiv(t - win, spec.slide) + F.lit(1)
+    )
     wids = F.when(first <= last, F.sequence(first, last)).otherwise(
         F.array().cast("array<long>")
     )
@@ -337,5 +352,5 @@ def tb_window_native(
     )
     micros_per = {"microsecond": 1, "millisecond": 1_000, "second": 1_000_000}[unit]
     return out.withColumn(
-        GWID, (F.unix_micros(F.col("w.start")) / F.lit(spec.slide * micros_per)).cast("long")
+        GWID, floordiv(F.unix_micros(F.col("w.start")), spec.slide * micros_per)
     ).drop("w")

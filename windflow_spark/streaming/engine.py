@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from windflow_spark.operators.windows import GWID, WinSpec
+from windflow_spark.operators.windows import GWID, WinSpec, floordiv
 
 
 def stream_source(
@@ -100,7 +100,7 @@ def stream_win_tb(
     )
     return out.withColumn(
         GWID,
-        (F.unix_micros(F.col("w.start")) / F.lit(spec.slide * micros_per)).cast("long"),
+        floordiv(F.unix_micros(F.col("w.start")), spec.slide * micros_per),
     ).drop("w")
 
 
@@ -676,8 +676,7 @@ def flush_tb_partials(
     return flat.select(
         *keys,
         *_agg_buffer_cols(aggs, slot_names),
-        (F.unix_micros(F.col("_wstart")) / F.lit(spec.slide * micros_per))
-        .cast("long")
+        floordiv(F.unix_micros(F.col("_wstart")), spec.slide * micros_per)
         .alias(GWID),
     )
 
