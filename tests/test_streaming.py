@@ -634,6 +634,7 @@ def test_stream_cb_tws_general_aggs_match_classic(spark, tx_path):
         "s": ("sum", "text_len"), "c": ("count", None),
         "mn": ("min", "text_len"), "mx": ("max", "text_len"),
         "avg": ("mean", "text_len"), "am": ("argmax", "text_len"),
+        "vr": ("var", "text_len"), "sd": ("std", "text_len"),
     }
 
     def build(fn):
@@ -696,9 +697,10 @@ def test_stream_cb_eos_flush_restores_batch_parity(spark, tx_path, tdir):
     an availableNow drain, flush_cb_partials reads the still-open
     windows back from the checkpoint's state store and finalizes them —
     fired ∪ flushed == the batch win_seq result INCLUDING partial
-    windows, across the FULL registry — sum/count/min/max/mean plus
-    the non-scalar argmax, whose Catalyst finalizer projects the id
-    slot out of the persisted (value, id) pair — on a sliding spec
+    windows, across the FULL registry — sum/count/min/max/mean, the
+    non-scalar argmax (Catalyst finalizer projects the id slot out of
+    the persisted (value, id) pair), and var/std (3-slot Catalyst
+    finalizer over the (sum, sumsq, count) triple) — on a sliding spec
     (every open window of every key, not just the last)."""
     schema = _schema(spark, tx_path)
     src = se.stream_source(spark, tx_path, schema, max_files_per_trigger=1)
@@ -707,6 +709,7 @@ def test_stream_cb_eos_flush_restores_batch_parity(spark, tx_path, tdir):
         "s": ("sum", "text_len"), "c": ("count", None),
         "mn": ("min", "text_len"), "mx": ("max", "text_len"),
         "avg": ("mean", "text_len"), "am": ("argmax", "text_len"),
+        "vr": ("var", "text_len"), "sd": ("std", "text_len"),
     }
     stream = se.stream_cb_windows(
         src.withColumn("text_len", F.length("text").cast("double")),
@@ -732,9 +735,12 @@ def test_stream_cb_eos_flush_restores_batch_parity(spark, tx_path, tdir):
                 F.col("text_len").alias("v"),
                 (-F.col("turn_idx")).alias("ni"),
             )),
+            "vr": F.var_pop("text_len"),
+            "sd": F.stddev_pop("text_len"),
         },
     ).withColumn("am", (-F.col("_mb.ni")).cast("long")).drop("_mb").toPandas()
-    cols = ["conv_id", "gwid", "s", "c", "mn", "mx", "avg", "am", "win_end"]
+    cols = ["conv_id", "gwid", "s", "c", "mn", "mx", "avg", "am",
+            "vr", "sd", "win_end"]
     assert_frames_equal(got[cols], want[cols], ["conv_id", "gwid"])
 
 
@@ -894,3 +900,46 @@ def test_flush_session_partials_restores_batch_parity(spark, tx_path, tdir):
     # declared-aggs mismatch fails loud, not silently wrong
     with pytest.raises(ValueError, match="expected"):
         se.flush_session_partials(spark, ckpt, ["conv_id"], aggs={"cnt": "count"})
+
+
+def test_stream_cb_tws_idle_timer_flush(spark, tx_path):
+    """Continuous-mode eosnotify via TWS processing-time timers
+    (VERDICT r5 #6, env-gated like the other TWS tests): on a LIVE
+    query (processing-time trigger, never drained) each key's partial
+    windows are emitted once the key goes idle past idle_flush_ms —
+    fired ∪ timer-flushed == batch win_seq including partials. Covers
+    the 3-slot var op through the TWS state layout as well."""
+    import time
+
+    if not se.tws_available():
+        pytest.skip("protobuf runtime absent — TWS unavailable in this container")
+    schema = _schema(spark, tx_path)
+    spec = WinSpec("cb", 8, 4)
+    aggs = {"s": ("sum", "text_len"), "c": ("count", None),
+            "vr": ("var", "text_len")}
+    src = se.stream_source(spark, tx_path, schema)
+    out = se.stream_cb_windows_tws(
+        src.withColumn("text_len", F.length("text").cast("double")),
+        "conv_id", "turn_idx", None, spec, aggs=aggs, idle_flush_ms=5_000,
+    )
+    q = (out.writeStream.format("memory").queryName("t_tws_timer")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    want = win_seq(
+        spark.read.parquet(tx_path).withColumn(
+            "text_len", F.length("text").cast("double")),
+        ["conv_id"], "turn_idx", spec,
+        aggs={"s": F.sum("text_len"), "c": F.count(F.lit(1)),
+              "vr": F.var_pop("text_len")},
+    ).toPandas()
+    got = None
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        time.sleep(5)
+        got = spark.sql("SELECT * FROM t_tws_timer").toPandas()
+        if len(got) >= len(want):
+            break
+    q.stop()
+    assert got is not None and len(got) == len(want), (
+        None if got is None else len(got), len(want))
+    cols = ["conv_id", "gwid", "s", "c", "vr", "win_end"]
+    assert_frames_equal(got[cols], want[cols], ["conv_id", "gwid"])

@@ -3,10 +3,17 @@ __spark_entry__ query at sf0.01 and diff against its DuckDB oracle
 (row count + order-insensitive value comparison, column-name aligned).
 
 Usage: python tools/check_entry.py [sf_dir] [query ...]
+       python tools/check_entry.py --rotated [sf_dir]
+
+``--rotated`` checks ONLY the registry tail past the driver's 50-entry
+window and writes the results to CORRECTNESS_rotated.json — committed
+each round so position-51+ queries keep an auditable record even
+though the driver no longer re-checks them (ADVICE r5 #1).
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 from pathlib import Path
@@ -60,8 +67,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    rotated_only = "--rotated" in args
+    args = [a for a in args if a != "--rotated"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("check-entry", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -69,7 +79,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if rotated_only:
+        only = set(list(qs)[50:])
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -78,24 +91,29 @@ def main() -> int:
             got = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             failures.append(name)
+            record[name] = {"match": False, "err": f"spark error {str(ex)[:200]}"}
             print(f"FAIL {name}: spark error {str(ex)[:200]}")
             continue
         if name not in oracles:
+            record[name] = {"match": True, "rows": len(got), "rows_only": True}
             print(f"ok   {name}: rows-only ({len(got)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             want = con.execute(oracles[name]).df()
         except Exception as ex:
             failures.append(name)
+            record[name] = {"match": False, "err": f"duckdb error {str(ex)[:200]}"}
             print(f"FAIL {name}: duckdb error {str(ex)[:200]}")
             continue
         if len(got) != len(want):
             failures.append(name)
+            record[name] = {"match": False, "err": f"rows {len(got)} vs {len(want)}"}
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             continue
         g, w = normalize(got), normalize(want)
         if sorted(g.columns) != sorted(w.columns):
             failures.append(name)
+            record[name] = {"match": False, "err": "column mismatch"}
             print(f"FAIL {name}: columns {sorted(g.columns)} vs {sorted(w.columns)}")
             continue
         kind_skew = [
@@ -105,14 +123,21 @@ def main() -> int:
         ]
         if kind_skew:
             failures.append(name)
+            record[name] = {"match": False, "err": f"dtype-family mismatch {kind_skew}"}
             print(f"FAIL {name}: dtype-family mismatch (driver hash would differ): {kind_skew}")
             continue
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False, rtol=1e-6, atol=1e-9)
+            record[name] = {"match": True, "rows": len(got)}
             print(f"ok   {name}: {len(got)} rows match ({time.time()-t0:.1f}s)")
         except AssertionError as ex:
             failures.append(name)
+            record[name] = {"match": False, "err": f"value mismatch {str(ex)[:300]}"}
             print(f"FAIL {name}: value mismatch: {str(ex)[:300]}")
+    if rotated_only:
+        out = Path(__file__).resolve().parent.parent / "CORRECTNESS_rotated.json"
+        out.write_text(json.dumps(record, indent=1) + "\n")
+        print(f"wrote {out} ({len(record)} rotated queries)")
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL MATCH")
     return 1 if failures else 0
 
