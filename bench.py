@@ -980,7 +980,11 @@ def run_scaling_section(artifact: dict, emit, t_start: float) -> None:
         "eff_median over per-sample "
         "throughputs. control_cpu = pure-CPU 8→32 ceiling (~1.0 ⇒ cores "
         "real/quiet), control_membw = DRAM-bandwidth ceiling this "
-        "single-socket VM imposes on shuffle/agg-heavy work; see "
+        "single-socket VM imposes on shuffle/agg-heavy work. "
+        "efficiency_vs_memrand_control = headline / max(pre, post "
+        "memrand control) — the fraction of what this host's "
+        "random-access ceiling (the flagship's binding resource) "
+        "permits in the measurement window; see "
         "BENCH/BASELINE.md for the estimator-choice protocol")}
     scaling.update(control_efficiencies())
     artifact["scaling"] = scaling
@@ -1081,6 +1085,27 @@ def run_scaling_section(artifact: dict, emit, t_start: float) -> None:
             # real N→4N cluster multiplies memory controllers too).
             scaling.update(headline_from_pairs(scaling["samples"]))
             emit()
+    # post-window controls + CONTROL-NORMALIZED headline (VERDICT r5
+    # #2): the section spans up to ~35 min, so re-measure the hardware
+    # ceilings AFTER sampling; the normalized headline divides by the
+    # BINDING control — memrand, the random-access ceiling the
+    # flagship's hash-agg stage is bound by (r5: app reaches ~75-80% of
+    # the memrand control) — answering "what fraction of what this
+    # single-socket host permits" even when the raw >= 0.8 target is
+    # physically out of reach in the window. max(pre, post) is the
+    # conservative denominator (larger ceiling -> smaller claim).
+    if "efficiency_8_to_32" in scaling:
+        post = control_efficiencies()
+        scaling.update({f"{k}_post": v for k, v in post.items()})
+        ctrls = [c for c in (scaling.get("control_memrand_eff_8_to_32"),
+                             post.get("control_memrand_eff_8_to_32"))
+                 if c and c > 0]
+        if ctrls:
+            scaling["memrand_control_binding"] = max(ctrls)
+            scaling["efficiency_vs_memrand_control"] = round(
+                min(1.0, scaling["efficiency_8_to_32"] / max(ctrls)), 3
+            )
+        emit()
     # append THIS run to the carried history (r4 lesson: no single run
     # is trustworthy alone — the record is the sequence), newest-last,
     # bounded at 12 entries
@@ -1096,7 +1121,9 @@ def run_scaling_section(artifact: dict, emit, t_start: float) -> None:
                 "cpu": scaling.get("control_cpu_eff_8_to_32"),
                 "membw": scaling.get("control_membw_eff_8_to_32"),
                 "memrand": scaling.get("control_memrand_eff_8_to_32"),
+                "memrand_post": scaling.get("control_memrand_eff_8_to_32_post"),
             },
+            "vs_memrand": scaling.get("efficiency_vs_memrand_control"),
         }
         for k in list(hist)[:-12]:
             del hist[k]
