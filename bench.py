@@ -761,13 +761,26 @@ def main() -> None:
     battery_steal: dict[str, int] = {}
     for name in HEADLINE:
         reps: list[tuple[float, int]] = []
-        for i in range(3):
+        for i in range(4):
             s0 = _steal_jiffies()
             t0 = time.time()
             _noop(qs[name](spark, SF_DIR))
             el = time.time() - t0
             reps.append((el, _steal_jiffies() - s0))
-            if i == 1 and any(st < BATTERY_STEAL_CAP for _, st in reps):
+            # stop after 2 reps when one was steal-clean AND the query
+            # has stopped warming (rep didn't improve > 20% on the
+            # previous one). Cache-building queries (dedup_minhash_lsh
+            # persists its signature table; C2 keeps compiling its
+            # band-join stages for ~3 reps) otherwise record an
+            # arbitrary point of the warm-up curve — measured 5.58 /
+            # 1.16 / 0.89 / 0.67 s across 4 steal-clean reps, and the
+            # r4→r5 "regression" (0.64→0.88) was exactly this, not a
+            # plan change (NOTES.md r6).
+            if (
+                i >= 1
+                and any(st < BATTERY_STEAL_CAP for _, st in reps)
+                and reps[-1][0] > 0.8 * reps[-2][0]
+            ):
                 break
         clean = [r for r in reps if r[1] < BATTERY_STEAL_CAP]
         el, st = min(clean or reps)
