@@ -900,6 +900,13 @@ def test_flush_session_partials_restores_batch_parity(spark, tx_path, tdir):
     # declared-aggs mismatch fails loud, not silently wrong
     with pytest.raises(ValueError, match="expected"):
         se.flush_session_partials(spark, ckpt, ["conv_id"], aggs={"cnt": "count"})
+    # EQUAL-slot-total mismatch (ADVICE r5 #2): drain ran (count, sum)
+    # — a flush declaring (count, min) has the same slot count but a
+    # different buffer; the field-name cross-check catches it
+    with pytest.raises(ValueError, match="buffer fields"):
+        se.flush_session_partials(
+            spark, ckpt, ["conv_id"], aggs={"cnt": "count", "sum_len": "min"}
+        )
 
 
 def test_stream_cb_tws_idle_timer_flush(spark, tx_path):

@@ -627,6 +627,39 @@ def _flush_cb_buffered(st: DataFrame, key: str, spec: WinSpec, aggs: dict) -> Da
 #: (sum, count) pair)
 _TB_BUFFER_SLOTS = {"count": 1, "sum": 1, "min": 1, "max": 1, "avg": 2}
 
+#: buffer field NAMES Catalyst writes per op (probed from real
+#: checkpoints: count→'count', sum→'sum', min→'min', max→'max',
+#: avg→('sum','count')) — validated against the declared aggs so a
+#: flush run with a different-but-equal-slot-count aggs dict than the
+#: drain's (e.g. min declared where the drain aggregated sum) fails
+#: loud instead of silently decoding wrong values (ADVICE r5 #2)
+_TB_BUFFER_FIELDS = {"count": ("count",), "sum": ("sum",), "min": ("min",),
+                     "max": ("max",), "avg": ("sum", "count")}
+
+
+def _check_buffer_fields(fields, aggs: dict[str, str], context: str) -> None:
+    """Cross-check the checkpoint's aggregation-buffer field names
+    against the declared ops (same order). Residual ambiguity, by
+    construction: a drain's single ``avg`` exposes the same
+    ('sum', 'count') field pair as a declared ``sum`` + ``count`` over
+    a double column — indistinguishable from the schema alone; every
+    single-op swap (sum vs min vs max vs count) IS caught."""
+    expected = [
+        (name, op, b) for name, op in aggs.items()
+        for b in _TB_BUFFER_FIELDS[op]
+    ]
+    bad = [
+        f"field {f.name!r} where agg {agg_name!r} ({op}) expects {exp_b!r}"
+        for f, (agg_name, op, exp_b) in zip(fields, expected)
+        if f.name.lower() != exp_b
+    ]
+    if bad:
+        raise ValueError(
+            f"{context}: checkpoint buffer fields do not match the "
+            f"declared aggs — {'; '.join(bad)}; pass the same aggs "
+            "dict the drain ran with"
+        )
+
 
 def _agg_buffer_cols(aggs: dict[str, str], slot_names: Sequence[str],
                      offset: int = 0) -> list[Column]:
@@ -689,6 +722,10 @@ def flush_tb_partials(
             )
     micros_per = {"microsecond": 1, "millisecond": 1_000, "second": 1_000_000}[unit]
     st = spark.read.format("statestore").option("path", checkpoint).load()
+    # the TB value struct is exactly the agg buffers, declaration order
+    _check_buffer_fields(
+        st.schema["value"].dataType.fields, aggs, "flush_tb_partials"
+    )
     # buffer field NAMES duplicate across aggs (two sums ⇒ two 'sum'
     # fields), which trips analysis on by-name access AND the V2
     # pushdown rule on `value.*`; struct CASTS are positional, so cast
@@ -757,6 +794,12 @@ def flush_session_partials(
             f"{n_expected} for {len(keys)} keys + window + declared aggs "
             "— pass the same keys/aggs the drain used"
         )
+    # beyond the slot COUNT, the buffer field names must match the
+    # declared ops (ADVICE r5 #2: {'a':'avg'} vs {'x':'sum','y':'min'}
+    # have equal slot totals but different buffers)
+    _check_buffer_fields(
+        vt.fields[len(keys) + 1:], aggs, "flush_session_partials"
+    )
     slot_names = [f"_s{i}" for i in range(len(vt.fields))]
     ddl = ", ".join(
         f"{n}: {f.dataType.simpleString()}" for n, f in zip(slot_names, vt.fields)
