@@ -950,3 +950,85 @@ def test_stream_cb_tws_idle_timer_flush(spark, tx_path):
         None if got is None else len(got), len(want))
     cols = ["conv_id", "gwid", "s", "c", "vr", "win_end"]
     assert_frames_equal(got[cols], want[cols], ["conv_id", "gwid"])
+
+
+def test_register_cb_op_user_fold_end_to_end(spark, tx_path, tdir):
+    """User-declared decomposable fold (the reference's arbitrary INC
+    lambda, win_seq.hpp:63-65): register an argmin (min value, smallest
+    id on ties) through register_cb_op — validated for decomposability
+    at registration — and run it through the classic CB processor AND
+    the EOS flush (no Catalyst finalizer declared, so the flush must
+    transparently route through the mapInPandas arm): fired ∪ flushed
+    == batch win_seq including partials."""
+
+    def _argmin_batch(g, c):
+        df = g.obj.sort_values([c, "_id"], ascending=[True, True],
+                               kind="stable")
+        f = df.groupby("_w", sort=True).first()
+        return [f[c], f["_id"].astype("float64")]
+
+    def _argmin_merge(o, n):
+        return list(n) if n[0] < o[0] or (n[0] == o[0] and n[1] < o[1]) \
+            else list(o)
+
+    se.register_cb_op(
+        "argmin_t", n_slots=2, batch=_argmin_batch, merge=_argmin_merge,
+        finalize=lambda s: int(s[1]), out_type="long",
+        validate_with=[5.0, 2.0, 9.0, 2.0, 7.0, 1.0, 3.0],
+    )
+    try:
+        schema = _schema(spark, tx_path)
+        src = se.stream_source(spark, tx_path, schema, max_files_per_trigger=1)
+        spec = WinSpec("cb", 10, 5)
+        aggs = {"c": ("count", None), "amn": ("argmin_t", "text_len")}
+        stream = se.stream_cb_windows(
+            src.withColumn("text_len", F.length("text").cast("double")),
+            "conv_id", "turn_idx", None, spec, aggs=aggs,
+        )
+        sink = str(tdir / "user_fold_sink")
+        ckpt = str(tdir / "user_fold_ckpt")
+        se.run_available_now(stream, sink, ckpt, timeout_sec=300)
+        fired = spark.read.parquet(sink)
+        flushed = se.flush_cb_partials(spark, ckpt, "conv_id", spec, aggs=aggs)
+        assert flushed.count() > 0
+        got = fired.unionByName(flushed).toPandas()
+        batch = spark.read.parquet(tx_path).withColumn(
+            "text_len", F.length("text").cast("double")
+        )
+        want = win_seq(
+            batch, ["conv_id"], "turn_idx", spec,
+            aggs={
+                "c": F.count(F.lit(1)),
+                "_mb": F.min(F.struct(
+                    F.col("text_len").alias("v"),
+                    F.col("turn_idx").alias("i"),
+                )),
+            },
+        ).withColumn("amn", F.col("_mb.i").cast("long")).drop("_mb").toPandas()
+        cols = ["conv_id", "gwid", "c", "amn", "win_end"]
+        assert_frames_equal(got[cols], want[cols], ["conv_id", "gwid"])
+    finally:
+        del se._CB_OPS["argmin_t"]
+
+
+def test_register_cb_op_rejects_non_decomposable():
+    """The decomposability property-check: a kernel whose merge cannot
+    reproduce the whole-sample fold (median with mean-of-medians merge)
+    is rejected at registration, not silently wrong at runtime."""
+
+    def _median_batch(g, c):
+        return [g[c].median()]
+
+    with pytest.raises(ValueError, match="not decomposable"):
+        se.register_cb_op(
+            "median_bad_t", n_slots=1, batch=_median_batch,
+            merge=lambda o, n: [(o[0] + n[0]) / 2], finalize=lambda s: s[0],
+            validate_with=[1.0, 2.0, 100.0, 3.0, 4.0],
+        )
+    assert "median_bad_t" not in se._CB_OPS
+
+    with pytest.raises(ValueError, match="already registered"):
+        se.register_cb_op(
+            "sum", n_slots=1, batch=_median_batch, merge=lambda o, n: o,
+            finalize=lambda s: s[0],
+        )

@@ -188,8 +188,9 @@ def stream_session(
 # 63-65); a distributed engine needs the fold DECLARED decomposable, so
 # the op registry is the contract (sum/count/min/max/mean cover the
 # reference's test programs; argmax proves the registry generalizes
-# beyond scalar semigroups, var/std beyond two slots — extend by
-# adding a row here).
+# beyond scalar semigroups, var/std beyond two slots). Users extend it
+# with register_cb_op(), which property-checks the declared fold for
+# decomposability before admitting it.
 
 
 def _argmax_batch(g, c):
@@ -275,6 +276,89 @@ _CB_OPS = {
             lambda s: _var_final(s) ** 0.5, "double",
             lambda p, i: F.sqrt(_var_cat(p, i))),
 }
+
+
+def register_cb_op(
+    name: str,
+    *,
+    n_slots: int,
+    batch,
+    merge,
+    finalize,
+    out_type: str = "double",
+    catalyst=None,
+    validate_with=None,
+    tol: float = 1e-9,
+) -> None:
+    """Register a USER-DECLARED decomposable fold as a streaming CB op
+    — closing the gap to the reference's arbitrary INC lambda
+    (win_seq.hpp:63-65): any fold a user can state as (partial slots,
+    batch kernel, merge, finalize) plugs into stream_cb_windows,
+    stream_cb_windows_tws and the EOS flush arms exactly like the
+    built-ins (they all read the same registry).
+
+    - ``n_slots``: float64 partial slots per window.
+    - ``batch(g, col)``: the per-Arrow-batch kernel — receives the
+      fold frame's pandas groupby over window id ``_w`` (the frame
+      carries the value columns plus ``_id`` = the tuple id) and
+      returns a list of ``n_slots`` Series indexed by window id.
+    - ``merge(old_slots, new_slots) -> slots``: cross-batch partial
+      merge (lists of floats).
+    - ``finalize(slots) -> value`` with SQL type ``out_type``.
+    - ``catalyst(parts_col, slot_pos) -> Column`` (optional): the same
+      finalize as a Catalyst expression over the persisted slot
+      arrays. With it, the statestore EOS flush stays a pure scan +
+      projection; without it, ``flush_cb_partials`` transparently
+      routes through the mapInPandas arm (Python finalize over state
+      rows — one row per key, no shuffle, still no replay).
+    - ``validate_with`` (recommended): a 1-D float sample. The
+      declaration is property-checked for DECOMPOSABILITY before
+      registration: for every split point, merging the two halves'
+      partials must equal folding the whole sample (the condition that
+      makes the cross-batch merge correct — a non-decomposable kernel
+      like an unmergeable median is rejected here instead of silently
+      emitting wrong windows at runtime).
+    """
+    if name in _CB_OPS:
+        raise ValueError(f"CB op {name!r} already registered")
+    if validate_with is not None:
+        import numpy as np
+
+        sample = np.asarray(validate_with, dtype=np.float64)
+        if sample.ndim != 1 or len(sample) < 2:
+            raise ValueError("validate_with must be a 1-D sample with >= 2 values")
+
+        def _partials(vals, ids):
+            frame = pd.DataFrame(
+                {"_w": np.zeros(len(vals), dtype=np.int64), "_id": ids,
+                 "_v": vals}
+            )
+            out = batch(frame.groupby("_w", sort=True), "_v")
+            if len(out) != n_slots:
+                raise ValueError(
+                    f"batch kernel returned {len(out)} slots, declared {n_slots}"
+                )
+            return [float(s.loc[0]) for s in out]
+
+        ids = np.arange(len(sample), dtype=np.int64)
+        whole = _partials(sample, ids)
+        for k in range(1, len(sample)):
+            merged = merge(_partials(sample[:k], ids[:k]),
+                           _partials(sample[k:], ids[k:]))
+            bad = [
+                (i, m, w) for i, (m, w) in enumerate(zip(merged, whole))
+                if not (abs(m - w) <= tol * max(1.0, abs(w)))
+            ]
+            if bad:
+                raise ValueError(
+                    f"CB op {name!r} is not decomposable: merging the "
+                    f"split at {k} gives slots {merged} but folding the "
+                    f"whole sample gives {whole} — the cross-batch merge "
+                    "would emit wrong windows. Use an NIC whole-window "
+                    "UDF (win_seq nic_fn) for non-decomposable logic."
+                )
+        finalize(whole)  # must at least run on real partials
+    _CB_OPS[name] = (n_slots, batch, merge, finalize, out_type, catalyst)
 
 
 def _make_cb_fold(win: int, slide: int, aggs: dict, in_cols: list[str]):
@@ -537,7 +621,13 @@ def flush_cb_partials(
     if on_late not in ("assume_ordered", "drop", "buffer"):
         raise ValueError(f"unknown on_late policy {on_late!r}")
     st = spark.read.format("statestore").option("path", checkpoint).load()
-    if on_late == "buffer":
+    if on_late == "buffer" or any(
+        _CB_OPS[op][5] is None for op, _c in aggs.values()
+    ):
+        # buffered drains AND user-registered ops without a Catalyst
+        # finalizer route through the mapInPandas arm (Python finalize
+        # over one state row per key, no shuffle; drop/assume_ordered
+        # drains leave the buffer empty so only the finalize loop runs)
         return _flush_cb_buffered(st, key, spec, aggs)
     gs = st.select(
         F.col(f"key.{key}").alias(key),
