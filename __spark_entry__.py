@@ -920,6 +920,39 @@ def q_streaming_cb_var(spark, sf_dir):
     )
 
 
+def q_streaming_cb_userfold(spark, sf_dir):
+    """USER-DECLARED fold through the public ``register_cb_op``
+    extension contract (the route to the reference's arbitrary INC
+    lambda, win_seq.hpp:63-65): a value-range fold — (min, max) slot
+    pair, finalize = max − min — is registered at call time,
+    property-checked for decomposability, and runs through the SAME
+    streaming CB processor and state layout as the built-ins. Fired
+    windows only (Triggerer_CB); the oracle recomputes max − min."""
+    import uuid
+
+    from windflow_spark.streaming import engine as se
+
+    if "vrange" not in se._CB_OPS:
+        se.register_cb_op(
+            "vrange", n_slots=2,
+            batch=lambda g, c: [g[c].min(), g[c].max()],
+            merge=lambda o, n: [min(o[0], n[0]), max(o[1], n[1])],
+            finalize=lambda s: s[1] - s[0], out_type="double",
+            validate_with=[3.0, -1.5, 8.25, 0.0, 4.5, 2.0],
+        )
+    src = _renumbered_ids_stream(spark, sf_dir, "wf_gate_cbuf_")
+    out = se.stream_cb_windows(
+        src, "user_key", "wf_id", None, WinSpec("cb", 10, 10),
+        aggs={"cnt": ("count", None), "range_value": ("vrange", "value")},
+    )
+    name = f"gate_stream_cbuf_{uuid.uuid4().hex[:8]}"
+    res = se.run_to_memory(out, name, spark, output_mode="append")
+    return res.select(
+        "user_key", "gwid", "cnt",
+        F.round("range_value", 4).alias("range_value"), "win_end",
+    )
+
+
 def q_streaming_session_eos(spark, sf_dir):
     """Session arm of the eosnotify flush (win_seq.hpp:432-474 —
     completing the CB/TB/session symmetry, VERDICT r4 #7): an
@@ -1009,19 +1042,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Gate registry. ORDER MATTERS: the driver's correctness gate
     checks exactly the FIRST 50 entries (r4 record gap — VERDICT r4
     #1), so positions 1-50 hold every query that is new this round or
-    was never driver-checked (r6 adds streaming_cb_var), and positions
-    51+ hold only queries with at least three consecutive rounds of
-    driver-green history (r2-r4: cube_agg, rollup_agg, set_ops,
-    topk_per_key, per_turn_text, doc_fingerprint, doc_rolling_hash,
-    text_langid; r6 rotates micro1_stateless, driver-green r2-r5 and
-    also exercised by every stateless-chain test — all still
-    oracle-checked locally by tools/check_entry.py, which covers ALL
-    entries and writes CORRECTNESS_rotated.json for the 51+ tail)."""
+    was never driver-checked (r6 adds streaming_cb_var and
+    streaming_cb_userfold), and positions 51+ hold only queries with at
+    least three consecutive rounds of driver-green history (r2-r4:
+    cube_agg, rollup_agg, set_ops, topk_per_key, per_turn_text,
+    doc_fingerprint, doc_rolling_hash, text_langid; r6 rotates
+    micro1_stateless, driver-green r2-r5 and also exercised by every
+    stateless-chain test, and win_tb_hopping, driver-green r2-r5 with
+    hopping semantics still driver-covered by win_cb_hopping +
+    streaming_hopping — all still oracle-checked locally by
+    tools/check_entry.py, which covers ALL entries and writes
+    CORRECTNESS_rotated.json for the 51+ tail)."""
     return {
-        # — batch windows / operator algebra (13)
+        # — batch windows / operator algebra (12)
         "win_tb_tumbling": q_win_tb_tumbling,
         "win_tb_sliding": q_win_tb_sliding,
-        "win_tb_hopping": q_win_tb_hopping,
         "win_cb_tumbling": q_win_cb_tumbling,
         "win_cb_sliding": q_win_cb_sliding,
         "win_cb_hopping": q_win_cb_hopping,
@@ -1056,8 +1091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
-        # — streaming (15; incl. the new r6 gate streaming_cb_var,
-        #   inside the 50-entry window)
+        # — streaming (16; incl. the new r6 gates streaming_cb_var and
+        #   streaming_cb_userfold, inside the 50-entry window)
         "streaming_tumbling": q_streaming_tumbling,
         "streaming_cb": q_streaming_cb,
         "streaming_hopping": q_streaming_hopping,
@@ -1073,9 +1108,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cb_maxby": q_streaming_cb_maxby,
         "streaming_session_eos": q_streaming_session_eos,
         "streaming_cb_var": q_streaming_cb_var,
+        "streaming_cb_userfold": q_streaming_cb_userfold,
         # ---- position 51+: three-round-stable rotation (driver checks
         #      stop at 50; tools/check_entry.py still checks these)
         "micro1_stateless": q_micro1_stateless,
+        "win_tb_hopping": q_win_tb_hopping,
         "cube_agg": q_cube_agg,
         "rollup_agg": q_rollup_agg,
         "set_ops": q_set_ops,
@@ -1632,6 +1669,23 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY i.user_key, wf_id // 10)
         SELECT user_key, gwid, cnt, round(v, 4) AS var_value,
                round(sqrt(v), 4) AS std_value, win_end
+        FROM agg WHERE win_end <= m
+    """
+    # user-registered vrange fold: max − min is exact fp64 on both
+    # sides (no accumulation), so 4-dp rounding agrees
+    sql["streaming_cb_userfold"] = """
+        WITH ids AS (
+          SELECT user_id::VARCHAR AS user_key, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS wf_id
+          FROM events),
+        mx AS (SELECT user_key, max(wf_id) AS m FROM ids GROUP BY 1),
+        agg AS (
+          SELECT i.user_key, wf_id // 10 AS gwid, count(*) AS cnt,
+                 round(max(value) - min(value), 4) AS range_value,
+                 (wf_id // 10) * 10 + 9 AS win_end, max(mx.m) AS m
+          FROM ids i JOIN mx ON i.user_key = mx.user_key
+          GROUP BY i.user_key, wf_id // 10)
+        SELECT user_key, gwid, cnt, range_value, win_end
         FROM agg WHERE win_end <= m
     """
     sql["streaming_hopping"] = f"""
