@@ -32,11 +32,15 @@ MIN15 = 900_000_000
 
 # ANN gate floors: per-query recall@5 vs exact brute force. The sf0.01
 # embeddings are near-uniform random 64-d vectors — the hard case for
-# hyperplane LSH / coarse IVF — so measured min per-query recall is 0.2
-# (every query still finds ≥1 true neighbor through the bucket join).
-# Deterministic: seeded planes/centroids, rounded cosine, c_id tiebreak.
+# hyperplane LSH / coarse IVF, where recall tracks the scanned corpus
+# fraction because the hash carries almost no cosine signal (measured
+# r6: LSH 4 planes/radius 1 ≈ 31% scan → min 0.2 / mean 0.44; pushing
+# planes up COLLAPSES recall — 8 planes/radius 2 → mean 0.06). IVF at
+# nprobe=6/16 (37.5% scan) reaches min 0.4 / mean 0.66 — the floor
+# asserts that. Deterministic: seeded planes/centroids, rounded
+# cosine, c_id tiebreak.
 ANN_LSH_RECALL_FLOOR = 0.2
-ANN_IVF_RECALL_FLOOR = 0.2
+ANN_IVF_RECALL_FLOOR = 0.4
 # HLL gate bound: |approx - exact| ≤ 25% + 4. approx_count_distinct is
 # register-max based (order-independent ⇒ deterministic); observed max
 # relative error at sf0.01 is 0.214 on small windows.
@@ -493,7 +497,7 @@ def q_ann_lsh(spark, sf_dir):
 def q_ann_ivf(spark, sf_dir):
     vecs = _vecs(spark, sf_dir)
     qs = vecs.filter(F.col("vec_id") < 10)
-    ann = similarity.ivf_topk(vecs, qs, k=5, n_cells=16, nprobe=4)
+    ann = similarity.ivf_topk(vecs, qs, k=5, n_cells=16, nprobe=6)
     return _recall_vs_exact(ann, similarity.brute_force_topk(vecs, qs, k=5),
                             floor=ANN_IVF_RECALL_FLOOR)
 
