@@ -620,6 +620,13 @@ def flush_cb_partials(
         aggs = {"sum_value": ("sum", value_col), "cnt": ("count", None)}
     if on_late not in ("assume_ordered", "drop", "buffer"):
         raise ValueError(f"unknown on_late policy {on_late!r}")
+    for name, (op, _c) in aggs.items():
+        if op not in _CB_OPS:
+            raise ValueError(
+                f"agg {name!r}: unknown op {op!r} (have {sorted(_CB_OPS)}) "
+                "— a register_cb_op() registration is per-process; re-run "
+                "it before flushing a drain that used the op"
+            )
     st = spark.read.format("statestore").option("path", checkpoint).load()
     if on_late == "buffer" or any(
         _CB_OPS[op][5] is None for op, _c in aggs.values()
