@@ -83,12 +83,24 @@ def verify_tws(spark) -> str:
 
     # non-default agg set: exercises the generalized aggs= passthrough
     # on the TWS path (VERDICT r3 #5) across the FULL registry — incl.
-    # the non-scalar argmax (value, id) fold (VERDICT r4 #6)
+    # the non-scalar argmax (value, id) fold (VERDICT r4 #6) and a
+    # USER-REGISTERED fold (register_cb_op, r6: both processors ship
+    # the registry snapshot by value in their pickled closures, so a
+    # driver-side registration must reach cluster executors too)
+    if "vrange" not in se._CB_OPS:
+        se.register_cb_op(
+            "vrange", n_slots=2,
+            batch=lambda g, c: [g[c].min(), g[c].max()],
+            merge=lambda o, n: [min(o[0], n[0]), max(o[1], n[1])],
+            finalize=lambda s: s[1] - s[0], out_type="double",
+            validate_with=[3.0, -1.5, 8.25, 0.0, 4.5],
+        )
     aggs = {
         "s": ("sum", "v"), "c": ("count", None),
         "mn": ("min", "v"), "mx": ("max", "v"), "avg": ("mean", "v"),
         "am": ("argmax", "v"),
         "vr": ("var", "v"), "sd": ("std", "v"),  # 3-slot triple (r6)
+        "rg": ("vrange", "v"),  # user fold (register_cb_op, r6)
     }
 
     def run(fn, name):
