@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from windflow_spark.api import Pipe
 from windflow_spark.functions import dedup, similarity, text
 from windflow_spark.functions import multimodal
+from windflow_spark.operators.cep import match_events as cep_match_events
 from windflow_spark.operators.core import accumulate, drop_regressions, flat_map
 from windflow_spark.operators.joins import asof_join, broadcast_dim_join
 from windflow_spark.operators.pane_farm import hierarchical_rollup, pane_farm
@@ -957,6 +958,62 @@ def q_streaming_cb_userfold(spark, sf_dir):
     )
 
 
+def _cep_steps():
+    return [
+        F.col("event_type") == "click",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+    ]
+
+
+def q_cep_pattern(spark, sf_dir):
+    """CEP strict-contiguity sequence match (extension — the north
+    rule's 'streaming / CEP engine'; no reference analogue, WindFlow's
+    'patterns' are its operators): click → view → purchase on three
+    CONSECUTIVE per-user events (TS_RENUMBERING ids), as pure lead()
+    window expressions — one shuffle, whole-stage codegen, no Python.
+    Emits the match span ids + epoch-µs bounds; the oracle replays the
+    identical leads."""
+    # cast BEFORE renumbering so both window stages partition by the
+    # same user_key column — ONE exchange for the whole composition
+    # (renumber + match share the hash partitioning; plan-asserted)
+    ids = cb_ids(
+        _events(spark, sf_dir).withColumn(
+            "user_key", F.col("user_id").cast("string")
+        ),
+        ["user_key"], [F.col("ts"), F.col("event_id")],
+    ).select("user_key", "wf_id", "event_type", epoch_us("ts").alias("us"))
+    return cep_match_events(
+        ids, "user_key", "wf_id", _cep_steps(), ts_col="us"
+    )
+
+
+def q_streaming_cep(spark, sf_dir):
+    """The same pattern through the STREAMING stateful matcher
+    (bounded carry: state = last k-1 rows per key); a completed match
+    emits exactly once, so fired == the batch matcher == the same
+    oracle — no flush arm exists or is needed (a sequence either
+    completed or it didn't, unlike windows' eosnotify partials)."""
+    import tempfile
+    import uuid
+
+    from windflow_spark.streaming import engine as se
+
+    ids = cb_ids(
+        _events(spark, sf_dir).withColumn(
+            "user_key", F.col("user_id").cast("string")
+        ),
+        ["user_key"], [F.col("ts"), F.col("event_id")],
+    ).select("user_key", "wf_id", "event_type", epoch_us("ts").alias("us"))
+    tmp = tempfile.mkdtemp(prefix="wf_gate_cep_")
+    ids.coalesce(1).write.mode("overwrite").parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+    src = se.stream_source(spark, tmp, schema)
+    out = se.stream_match_events(src, "user_key", "wf_id", _cep_steps(), ts_col="us")
+    name = f"gate_stream_cep_{uuid.uuid4().hex[:8]}"
+    return se.run_to_memory(out, name, spark, output_mode="append")
+
+
 def q_streaming_session_eos(spark, sf_dir):
     """Session arm of the eosnotify flush (win_seq.hpp:432-474 —
     completing the CB/TB/session symmetry, VERDICT r4 #7): an
@@ -1046,24 +1103,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Gate registry. ORDER MATTERS: the driver's correctness gate
     checks exactly the FIRST 50 entries (r4 record gap — VERDICT r4
     #1), so positions 1-50 hold every query that is new this round or
-    was never driver-checked (r6 adds streaming_cb_var and
-    streaming_cb_userfold), and positions 51+ hold only queries with at
-    least three consecutive rounds of driver-green history (r2-r4:
-    cube_agg, rollup_agg, set_ops, topk_per_key, per_turn_text,
-    doc_fingerprint, doc_rolling_hash, text_langid; r6 rotates
-    micro1_stateless, driver-green r2-r5 and also exercised by every
-    stateless-chain test, and win_tb_hopping, driver-green r2-r5 with
-    hopping semantics still driver-covered by win_cb_hopping +
-    streaming_hopping — all still oracle-checked locally by
-    tools/check_entry.py, which covers ALL entries and writes
-    CORRECTNESS_rotated.json for the 51+ tail)."""
+    was never driver-checked (r6 adds streaming_cb_var,
+    streaming_cb_userfold, cep_pattern, streaming_cep), and positions
+    51+ hold only queries with at least three consecutive rounds of
+    driver-green history (r2-r4: cube_agg, rollup_agg, set_ops,
+    topk_per_key, per_turn_text, doc_fingerprint, doc_rolling_hash,
+    text_langid; r6 rotates micro1_stateless, win_tb_hopping,
+    win_cb_tumbling and win_cb_hopping — each driver-green r2-r5, with
+    the rotated semantics still driver-covered in-window: hopping by
+    streaming_hopping, CB tumbling by streaming_cb and every CB
+    streaming gate, and all four covered by the batch window test
+    suite — all still oracle-checked locally by tools/check_entry.py,
+    which covers ALL entries and writes CORRECTNESS_rotated.json for
+    the 51+ tail)."""
     return {
-        # — batch windows / operator algebra (12)
+        # — batch windows / operator algebra (11; incl. the new r6
+        #   CEP gate)
         "win_tb_tumbling": q_win_tb_tumbling,
         "win_tb_sliding": q_win_tb_sliding,
-        "win_cb_tumbling": q_win_cb_tumbling,
         "win_cb_sliding": q_win_cb_sliding,
-        "win_cb_hopping": q_win_cb_hopping,
+        "cep_pattern": q_cep_pattern,
         "win_nic_median": q_win_nic_median,
         "pane_farm_sliding": q_pane_farm_sliding,
         "win_mapreduce_sliding": q_win_mapreduce_sliding,
@@ -1095,8 +1154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
-        # — streaming (16; incl. the new r6 gates streaming_cb_var and
-        #   streaming_cb_userfold, inside the 50-entry window)
+        # — streaming (17; incl. the new r6 gates streaming_cb_var,
+        #   streaming_cb_userfold and streaming_cep, inside the
+        #   50-entry window)
         "streaming_tumbling": q_streaming_tumbling,
         "streaming_cb": q_streaming_cb,
         "streaming_hopping": q_streaming_hopping,
@@ -1113,10 +1173,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_eos": q_streaming_session_eos,
         "streaming_cb_var": q_streaming_cb_var,
         "streaming_cb_userfold": q_streaming_cb_userfold,
+        "streaming_cep": q_streaming_cep,
         # ---- position 51+: three-round-stable rotation (driver checks
         #      stop at 50; tools/check_entry.py still checks these)
         "micro1_stateless": q_micro1_stateless,
         "win_tb_hopping": q_win_tb_hopping,
+        "win_cb_tumbling": q_win_cb_tumbling,
+        "win_cb_hopping": q_win_cb_hopping,
         "cube_agg": q_cube_agg,
         "rollup_agg": q_rollup_agg,
         "set_ops": q_set_ops,
@@ -1675,6 +1738,32 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(v), 4) AS std_value, win_end
         FROM agg WHERE win_end <= m
     """
+    # CEP strict-contiguity match: the oracle replays the identical
+    # lead() algebra (per-user renumbered ids; id contiguity via
+    # lead(id, k-1) == id + k-1; nulls-as-false at the tail). The
+    # streaming matcher emits completed matches exactly once, so BOTH
+    # gates share this oracle (no partial-match state exists).
+    _cep_sql = """
+        WITH ids AS (
+          SELECT user_id::VARCHAR AS user_key, event_type, epoch_us(ts) AS us,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS wf_id
+          FROM events),
+        led AS (
+          SELECT user_key, wf_id, us,
+                 event_type = 'click' AS s0,
+                 lead(event_type, 1) OVER w = 'view' AS s1,
+                 lead(event_type, 2) OVER w = 'purchase' AS s2,
+                 lead(wf_id, 2) OVER w AS id2,
+                 lead(us, 2) OVER w AS us2
+          FROM ids WINDOW w AS (PARTITION BY user_key ORDER BY wf_id))
+        SELECT user_key, wf_id AS start_id, wf_id + 2 AS end_id,
+               us AS ts_first, us2 AS ts_last
+        FROM led
+        WHERE coalesce(s0, false) AND coalesce(s1, false)
+          AND coalesce(s2, false) AND id2 = wf_id + 2
+    """
+    sql["cep_pattern"] = _cep_sql
+    sql["streaming_cep"] = _cep_sql
     # user-registered vrange fold: max − min is exact fp64 on both
     # sides (no accumulation), so 4-dp rounding agrees
     sql["streaming_cb_userfold"] = """

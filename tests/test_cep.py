@@ -1,0 +1,198 @@
+"""CEP sequence matching: batch lead()-window matcher vs hand-computed
+fixtures and a pandas reference, streaming stateful matcher vs the
+batch result across micro-batch boundaries (exactly-once, bounded
+carry). Extension operator (no reference analogue — WindFlow's
+"patterns" are its operators); semantics defined in
+windflow_spark/operators/cep.py."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import datagen
+from tests.conftest import assert_frames_equal
+from windflow_spark.operators import cep
+from windflow_spark.streaming import engine as se
+
+
+@pytest.fixture(scope="module")
+def tdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("cep")
+
+
+def _df(spark, rows, cols=("k", "i", "ev", "us")):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=list(cols)))
+
+
+def test_match_events_hand_fixture(spark):
+    """Known matches, id-gap strictness, overlap, within bound."""
+    rows = [
+        # key a: a b b -> AB at 0; BB at 1 would need steps; gap 3->5
+        ("a", 0, "A", 0),
+        ("a", 1, "B", 10),
+        ("a", 2, "B", 20),
+        ("a", 3, "A", 30),
+        ("a", 5, "B", 50),  # id gap: A@3 -> B@5 must NOT match
+        ("b", 0, "A", 0),
+        ("b", 1, "B", 1000),  # within bound excludes when within=100
+    ]
+    df = _df(spark, rows)
+    steps = [F.col("ev") == "A", F.col("ev") == "B"]
+    got = (
+        cep.match_events(df, "k", "i", steps)
+        .toPandas()
+        .sort_values(["k", "start_id"])
+        .reset_index(drop=True)
+    )
+    assert [tuple(r) for r in got[["k", "start_id", "end_id"]].to_numpy()] == [
+        ("a", 0, 1),
+        ("b", 0, 1),
+    ]
+    # within: the b match spans 1000 us and is excluded at within=100
+    got_w = cep.match_events(
+        df, "k", "i", steps, ts_col="us", within=100
+    ).toPandas()
+    assert set(map(tuple, got_w[["k", "start_id"]].to_numpy())) == {("a", 0)}
+    assert list(got_w.columns) == ["k", "start_id", "end_id", "ts_first", "ts_last"]
+    # overlap: B B B with steps (B, B) matches at 0 AND 1
+    df2 = _df(spark, [("c", 0, "B", 0), ("c", 1, "B", 1), ("c", 2, "B", 2)])
+    got2 = cep.match_events(df2, "k", "i", [F.col("ev") == "B"] * 2).toPandas()
+    assert sorted(got2["start_id"].tolist()) == [0, 1]
+
+
+def test_match_events_null_predicate_is_false(spark):
+    pdf = pd.DataFrame(
+        {"k": ["a"] * 3, "i": [0, 1, 2], "v": [1.0, None, 3.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    # v > 0 is NULL on the middle row -> no (v>0, v>0) match at 0
+    got = cep.match_events(df, "k", "i", [F.col("v") > 0] * 2).toPandas()
+    assert got["start_id"].tolist() == []
+
+
+def _pandas_reference(pdf, k_steps, within=None):
+    """Straight-line reference: per key, sorted by id, test every
+    start position."""
+    out = []
+    k = len(k_steps)
+    for key, g in pdf.groupby("k"):
+        g = g.sort_values("i").reset_index(drop=True)
+        for s in range(len(g) - k + 1):
+            win = g.iloc[s : s + k]
+            if win["i"].iloc[-1] != win["i"].iloc[0] + k - 1:
+                continue
+            if not all(step(win.iloc[j]) for j, step in enumerate(k_steps)):
+                continue
+            if within is not None and (
+                win["us"].iloc[-1] - win["us"].iloc[0] > within
+            ):
+                continue
+            out.append((key, int(win["i"].iloc[0]), int(win["i"].iloc[-1])))
+    return sorted(out)
+
+
+def test_match_events_vs_pandas_reference(spark):
+    rng = np.random.default_rng(11)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], n),
+            "ev": rng.choice(["A", "B", "C"], n),
+            "us": rng.integers(0, 10_000, n),
+        }
+    )
+    pdf["i"] = pdf.groupby("k").cumcount()
+    # drop ~10% of rows to create id gaps
+    pdf = pdf[rng.random(n) > 0.1].reset_index(drop=True)
+    df = spark.createDataFrame(pdf)
+    steps = [F.col("ev") == "A", F.col("ev") == "B", F.col("ev") == "C"]
+    got = sorted(
+        map(
+            tuple,
+            cep.match_events(df, "k", "i", steps)
+            .toPandas()[["k", "start_id", "end_id"]]
+            .to_numpy(),
+        )
+    )
+    want = _pandas_reference(
+        pdf,
+        [
+            lambda r: r["ev"] == "A",
+            lambda r: r["ev"] == "B",
+            lambda r: r["ev"] == "C",
+        ],
+    )
+    assert got == want and len(want) > 0
+
+
+def test_stream_match_equals_batch(spark, tdir):
+    """Streaming matcher == batch matcher on the transcripts fixture,
+    with max_files_per_trigger=1 so the k-1 carry genuinely crosses
+    micro-batch boundaries; exactly-once (no duplicate match rows)."""
+    pdf = datagen.gen_transcripts(n_convs=20, seed=7, mean_turns=30)
+    path = str(tdir / "tx")
+    os.makedirs(path, exist_ok=True)
+    for shard in range(5):
+        part = pdf[pdf["turn_idx"].map(lambda i: i % 5) == shard]
+        # shard by turn ranges so one conversation SPANS several files
+        part = pdf[(pdf["turn_idx"] >= shard * 8) & (pdf["turn_idx"] < (shard + 1) * 8)]
+        if len(part):
+            datagen.write_parquet_us(part, f"{path}/part-{shard}.parquet")
+    left = pdf[pdf["turn_idx"] >= 40]
+    if len(left):
+        datagen.write_parquet_us(left, f"{path}/part-tail.parquet")
+    batch = spark.read.parquet(path)
+    steps = [
+        F.col("role") == "user",
+        F.col("role") == "assistant",
+        F.col("role") == "tool",
+    ]
+    want = (
+        cep.match_events(batch, "conv_id", "turn_idx", steps)
+        .toPandas()
+        .rename(columns={"conv_id": "conv_id"})
+    )
+    schema = spark.read.parquet(path).schema
+    src = se.stream_source(spark, path, schema, max_files_per_trigger=1)
+    out = se.stream_match_events(src, "conv_id", "turn_idx", steps)
+    got = se.run_to_memory(out, "t_cep_stream", spark, output_mode="append").toPandas()
+    assert len(got) == len(want) > 0
+    assert not got.duplicated(["conv_id", "start_id"]).any()
+    assert_frames_equal(got, want, ["conv_id", "start_id"])
+
+
+def test_stream_match_within_bound(spark, tdir):
+    """ts plumbing through the stateful matcher: the within bound
+    excludes slow sequences identically to batch."""
+    pdf = datagen.gen_transcripts(n_convs=10, seed=13, mean_turns=20)
+    pdf = pdf.assign(us=(pd.to_datetime(pdf["ts"], utc=True).astype("int64") // 1000))
+    path = str(tdir / "tx2")
+    os.makedirs(path, exist_ok=True)
+    datagen.write_parquet_us(pdf.drop(columns=["us"]), f"{path}/part-0.parquet")
+    batch = spark.read.parquet(path)
+    from windflow_spark.operators.windows import epoch_us
+
+    steps = [F.col("role") == "assistant", F.col("role") == "tool"]
+    within = 3_000_000  # 3 s
+    want = cep.match_events(
+        batch.withColumn("us", epoch_us("ts")),
+        "conv_id", "turn_idx", steps, ts_col="us", within=within,
+    ).toPandas()
+    schema = spark.read.parquet(path).schema
+    src = se.stream_source(spark, path, schema, max_files_per_trigger=1)
+    out = se.stream_match_events(
+        src.withColumn("us", epoch_us("ts")),
+        "conv_id", "turn_idx", steps, ts_col="us", within=within,
+    )
+    got = se.run_to_memory(out, "t_cep_within", spark, output_mode="append").toPandas()
+    # the bound must actually discriminate on this fixture
+    loose = cep.match_events(
+        batch.withColumn("us", epoch_us("ts")), "conv_id", "turn_idx", steps
+    ).count()
+    assert 0 < len(want) < loose
+    assert_frames_equal(got, want, ["conv_id", "start_id"])

@@ -189,3 +189,31 @@ def test_pane_quantile_two_exchanges_no_python(spark, events):
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas"):
         assert marker not in plan, plan
+
+
+def test_cep_match_single_exchange_no_python(spark, events):
+    """CEP sequence match composed over the renumbering stage: when the
+    match keys EQUAL the renumbering keys, the whole composition is ONE
+    hash exchange (both Window stages share the partitioning), the k-1
+    lead conjunction collapses into a single match Window node, and no
+    Python eval nodes appear — the keyed-window scale shape."""
+    from windflow_spark.operators import cep
+    from windflow_spark.operators.windows import cb_ids
+
+    ids = cb_ids(
+        events.withColumn("user_key", F.col("user_id").cast("string")),
+        ["user_key"], [F.col("ts"), F.col("event_id")],
+    ).select("user_key", "wf_id", "event_type", epoch_us("ts").alias("us"))
+    df = cep.match_events(
+        ids, "user_key", "wf_id",
+        [F.col("event_type") == "click", F.col("event_type") == "view",
+         F.col("event_type") == "purchase"],
+        ts_col="us",
+    )
+    plan = audit.physical_plan(df)
+    assert audit.count_exchanges(df) == 1, plan
+    # renumber window + ONE collapsed match window
+    assert plan.count("Window [") == 2, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas", "CartesianProduct"):
+        assert marker not in plan, plan

@@ -569,6 +569,129 @@ def stream_cb_windows(
     )
 
 
+def stream_match_events(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    steps: Sequence[Column],
+    ts_col: str | None = None,
+    within: int | None = None,
+) -> DataFrame:
+    """CEP strict-contiguity sequence match in streaming — the stateful
+    counterpart of ``operators.cep.match_events`` (same contract: per-
+    key DENSE monotone ids, overlapping matches, nulls = False; see
+    that module's docstring for the semantics and the north-rule
+    motivation).
+
+    The step predicates are projected as boolean columns BEFORE the
+    stateful op (Catalyst, no Python), so the processor only does id
+    arithmetic over bool matrices — numpy-vectorized per Arrow batch.
+    State carries exactly the last k-1 rows per key (ids, flags, ts):
+    O(keys × k) regardless of stream length. A match is emitted exactly
+    once — in the batch its COMPLETING row arrives (matches whose end
+    row sat in the carry were emitted previously). No EOS flush arm is
+    needed: a sequence either completed or it didn't — there is no
+    partial-match state to finalize, unlike windows (eosnotify).
+
+    Cross-batch arrival follows the CB "drop" rule: ids at or below
+    the last carried id are discarded (reference out-of-order drop,
+    win_seq.hpp:289-305); within-batch disorder is sorted, duplicate
+    ids keep the first occurrence.
+    """
+    import numpy as np
+
+    k = len(steps)
+    if k < 2:
+        raise ValueError("a sequence pattern needs at least 2 steps")
+    if within is not None and ts_col is None:
+        raise ValueError("within requires ts_col")
+    proj = df
+    for j, s in enumerate(steps):
+        proj = proj.withColumn(f"_s{j}", F.coalesce(s.cast("boolean"), F.lit(False)))
+    scols = [f"_s{j}" for j in range(k)]
+    has_ts = ts_col is not None
+    out_cols = [key, "start_id", "end_id"] + (
+        ["ts_first", "ts_last"] if has_ts else []
+    )
+    out_schema = f"{key} string, start_id long, end_id long" + (
+        ", ts_first long, ts_last long" if has_ts else ""
+    )
+    state_schema = "ids array<long>, ts array<long>, flags array<array<boolean>>"
+
+    def proc(
+        kk: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            sids, sts, sflags = state.get
+            carry_ids = np.asarray(sids, dtype=np.int64)
+            carry_ts = np.asarray(sts, dtype=np.int64)
+            carry_fl = (
+                np.asarray([list(r) for r in sflags], dtype=bool)
+                if len(sids)
+                else np.empty((0, k), dtype=bool)
+            )
+        else:
+            carry_ids = np.empty(0, dtype=np.int64)
+            carry_ts = np.empty(0, dtype=np.int64)
+            carry_fl = np.empty((0, k), dtype=bool)
+        matches = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            fl = np.column_stack([pdf[c].to_numpy(dtype=bool) for c in scols])
+            ts = (
+                pdf[ts_col].to_numpy(dtype=np.int64)
+                if has_ts
+                else np.zeros(len(ids), dtype=np.int64)
+            )
+            order = np.argsort(ids, kind="stable")
+            ids, fl, ts = ids[order], fl[order], ts[order]
+            uniq = np.concatenate([[True], ids[1:] != ids[:-1]])
+            ids, fl, ts = ids[uniq], fl[uniq], ts[uniq]
+            if len(carry_ids):
+                keep = ids > carry_ids[-1]
+                ids, fl, ts = ids[keep], fl[keep], ts[keep]
+            if not len(ids):
+                continue
+            n_carry = len(carry_ids)
+            a_ids = np.concatenate([carry_ids, ids])
+            a_fl = np.vstack([carry_fl, fl])
+            a_ts = np.concatenate([carry_ts, ts])
+            n = len(a_ids)
+            if n >= k:
+                ok = a_fl[: n - k + 1, 0].copy()
+                for j in range(1, k):
+                    ok &= a_fl[j : n - k + 1 + j, j]
+                ok &= a_ids[k - 1 :] == a_ids[: n - k + 1] + (k - 1)
+                if within is not None:
+                    ok &= (a_ts[k - 1 :] - a_ts[: n - k + 1]) <= within
+                starts = np.nonzero(ok)[0]
+                # exactly-once: only matches whose END row arrived now
+                starts = starts[starts + k - 1 >= n_carry]
+                for i in starts.tolist():
+                    row = (kk[0], int(a_ids[i]), int(a_ids[i + k - 1]))
+                    if has_ts:
+                        row += (int(a_ts[i]), int(a_ts[i + k - 1]))
+                    matches.append(row)
+            carry_ids = a_ids[max(0, n - (k - 1)) :]
+            carry_fl = a_fl[max(0, n - (k - 1)) :]
+            carry_ts = a_ts[max(0, n - (k - 1)) :]
+        state.update(
+            (
+                carry_ids.tolist(),
+                carry_ts.tolist(),
+                [[bool(x) for x in r] for r in carry_fl],
+            )
+        )
+        if matches:
+            yield pd.DataFrame(matches, columns=out_cols)
+
+    return proj.groupBy(key).applyInPandasWithState(
+        proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def flush_cb_partials(
     spark: SparkSession,
     checkpoint: str,
