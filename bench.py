@@ -74,6 +74,7 @@ HEADLINE = [
     "dedup_simhash",
     "embedding_topk",
     "text_quality",
+    "cep_pattern",  # r6: battery grew to 16 queries
 ]
 
 

@@ -29,6 +29,7 @@ SHOW = [
     "ooo_drop",
     "win_topk_pane",
     "win_quantile",
+    "cep_pattern",
 ]
 
 
