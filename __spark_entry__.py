@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from windflow_spark.api import Pipe
-from windflow_spark.functions import dedup, similarity, text
+from windflow_spark.functions import dedup, sampling, similarity, text
 from windflow_spark.functions import multimodal
 from windflow_spark.operators.cep import match_events as cep_match_events
 from windflow_spark.operators.core import accumulate, drop_regressions, flat_map
@@ -1050,6 +1050,57 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (functions/sampling.py):
+    md5-hash routing, map-side only. Gate output is per-split count
+    plus an id checksum, so the oracle value-checks WHICH rows each
+    split received, not just how many."""
+    split = sampling.hash_split(
+        _docs(spark, sf_dir), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic Bernoulli sample (rate per lang;
+    absent strata dropped). Returns the sampled rows themselves — the
+    driver hash checks the exact kept-set."""
+    out = sampling.stratified_sample(
+        _docs(spark, sf_dir),
+        "doc_id",
+        {"en": 0.5, "de": 0.25, "zh": 1.0},
+        key_col="lang",
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_sample_k_per_key(spark, sf_dir):
+    """Deterministic k-per-key sample via the SALTED two-stage rank
+    (salt_parts=4) — the gate proves the win_mapreduce-style
+    decomposition equals the oracle's one-stage rank."""
+    return sampling.sample_k_per_key(
+        _docs(spark, sf_dir), "lang", 25, "doc_id", salt_parts=4
+    ).select("lang", "doc_id")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (LLM shard layout): docs laid out
+    per source by doc_id, bin = exact integer floordiv of the running
+    token offset. Gate output per (source, bin): doc count + token
+    sum."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", "source", text.token_count("text").alias("tok")
+    )
+    packed = sampling.pack_sequences(toks, "doc_id", "tok", 200, key_col="source")
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("tok_sum"),
+    )
+
+
 def q_per_turn_text(spark, sf_dir):
     """input_hint invariant surfaced in the gate: per-row text equality
     after a deterministic Map rewrite, under stable ordering — the
@@ -1104,20 +1155,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks exactly the FIRST 50 entries (r4 record gap — VERDICT r4
     #1), so positions 1-50 hold every query that is new this round or
     was never driver-checked (r6 adds streaming_cb_var,
-    streaming_cb_userfold, cep_pattern, streaming_cep), and positions
+    streaming_cb_userfold, cep_pattern, streaming_cep, hash_split,
+    stratified_sample, sample_k_per_key, pack_sequences), and positions
     51+ hold only queries with at least three consecutive rounds of
     driver-green history (r2-r4: cube_agg, rollup_agg, set_ops,
     topk_per_key, per_turn_text, doc_fingerprint, doc_rolling_hash,
     text_langid; r6 rotates micro1_stateless, win_tb_hopping,
-    win_cb_tumbling and win_cb_hopping — each driver-green r2-r5, with
-    the rotated semantics still driver-covered in-window: hopping by
+    win_cb_tumbling, win_cb_hopping, win_topk, win_count_distinct,
+    accumulator and union_pipes — each driver-green r2-r5, with the
+    rotated semantics still driver-covered in-window: hopping by
     streaming_hopping, CB tumbling by streaming_cb and every CB
-    streaming gate, and all four covered by the batch window test
-    suite — all still oracle-checked locally by tools/check_entry.py,
+    streaming gate, top-k by win_topk_pane + streaming_topk, count-
+    distinct by win_approx_distinct, accumulate by
+    streaming_accumulate, union by ysb_pipeline + the chain-fusion
+    tests — all still oracle-checked locally by tools/check_entry.py,
     which covers ALL entries and writes CORRECTNESS_rotated.json for
     the 51+ tail)."""
     return {
-        # — batch windows / operator algebra (11; incl. the new r6
+        # — batch windows / operator algebra (10; incl. the new r6
         #   CEP gate)
         "win_tb_tumbling": q_win_tb_tumbling,
         "win_tb_sliding": q_win_tb_sliding,
@@ -1129,16 +1184,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "session_windows": q_session_windows,
         "ooo_drop": q_ooo_drop,
-        "accumulator": q_accumulator,
-        # — pipes / joins / windowed extensions (8)
-        "union_pipes": q_union_pipes,
+        # — pipes / joins / windowed extensions (6)
         "asof_join": q_asof_join,
         "ysb_pipeline": q_ysb_pipeline,
-        "win_topk": q_win_topk,
         "win_topk_pane": q_win_topk_pane,
         "win_quantile": q_win_quantile,
-        "win_count_distinct": q_win_count_distinct,
         "win_approx_distinct": q_win_approx_distinct,
+        # — sampling / splitting / packing (4; new r6)
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "sample_k_per_key": q_sample_k_per_key,
+        "pack_sequences": q_pack_sequences,
         # — LLM-data-pipeline operators (14)
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -1180,6 +1236,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_tb_hopping": q_win_tb_hopping,
         "win_cb_tumbling": q_win_cb_tumbling,
         "win_cb_hopping": q_win_cb_hopping,
+        "win_topk": q_win_topk,
+        "win_count_distinct": q_win_count_distinct,
+        "accumulator": q_accumulator,
+        "union_pipes": q_union_pipes,
         "cube_agg": q_cube_agg,
         "rollup_agg": q_rollup_agg,
         "set_ops": q_set_ops,
@@ -1216,6 +1276,13 @@ _COS = (
 )
 
 _QUALITY_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+# DuckDB mirror of sampling.uniform01: 15-hex-char md5 prefix (60 bits)
+# over [0, 1). `{salt}` is format-substituted per draw.
+_DUCK_U = (
+    "(('0x' || substr(md5(cast(doc_id AS varchar) || '{salt}'), 1, 15))"
+    "::UBIGINT / 1152921504606846976.0)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1855,5 +1922,57 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS media_id, 'image' AS kind,
                octet_length(encode(text)) AS n_bytes, md5(text) AS digest
         FROM documents
+    """
+    # — sampling / splitting / packing: the DuckDB mirror of
+    #   functions/sampling.py's portable 60-bit md5 hash (same
+    #   construction as the shingle hash, dedup.py:143-151). Thresholds
+    #   embed the EXACT Python-computed float literals (repr), so both
+    #   engines compare identical doubles.
+    u_split = _DUCK_U.format(salt="split")
+    th = sampling.split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    sql["hash_split"] = f"""
+        SELECT split, cast(count(*) AS BIGINT) AS n_docs,
+               cast(sum(doc_id) AS BIGINT) AS id_sum
+        FROM (SELECT doc_id,
+                     CASE WHEN {u_split} < {th[0][1]!r} THEN 'train'
+                          WHEN {u_split} < {th[1][1]!r} THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents)
+        GROUP BY split
+    """
+    u_strat = _DUCK_U.format(salt="strat")
+    sql["stratified_sample"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {u_strat} < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                                    WHEN 'zh' THEN 1.0 ELSE 0.0 END
+    """
+    # salted two-stage rank == one-stage rank (min-k is
+    # order-insensitive), so the oracle is the plain row_number form
+    h_kper = (
+        "(('0x' || substr(md5(cast(doc_id AS varchar) || 'kper'), 1, 15))"
+        "::UBIGINT::BIGINT)"
+    )
+    sql["sample_k_per_key"] = f"""
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY {h_kper}, doc_id) AS r
+          FROM documents)
+        WHERE r <= 25
+    """
+    sql["pack_sequences"] = f"""
+        SELECT source, bin_id, cast(count(*) AS BIGINT) AS n_docs,
+               cast(sum(tok) AS BIGINT) AS tok_sum
+        FROM (
+          SELECT source, cast(floor((cum - tok) / 200.0) AS BIGINT) AS bin_id,
+                 tok
+          FROM (
+            SELECT source, tok,
+                   sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM (SELECT source, doc_id,
+                         len({_QUALITY_TOKS}) AS tok
+                  FROM documents)))
+        GROUP BY source, bin_id
     """
     return sql
