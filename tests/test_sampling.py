@@ -155,6 +155,93 @@ def test_sample_k_per_key_small_key_keeps_all(spark):
     assert got == {"a": 3, "b": 5}
 
 
+def test_weighted_sample_k_per_key_matches_duckdb(docs, ddb):
+    plain = (
+        sampling.sample_k_per_key(docs, "lang", 10, "doc_id", weight_col="n_chars")
+        .select("lang", "doc_id")
+        .toPandas()
+    )
+    salted = (
+        sampling.sample_k_per_key(
+            docs, "lang", 10, "doc_id", weight_col="n_chars", salt_parts=4
+        )
+        .select("lang", "doc_id")
+        .toPandas()
+    )
+    assert_frames_equal(plain, salted, ["lang", "doc_id"])
+    h = (
+        "('0x' || substr(md5(cast(doc_id AS varchar) || 'kper'), 1, 15))"
+        "::UBIGINT::BIGINT"
+    )
+    want = ddb.execute(
+        f"""
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY -ln(({h} + 1) / 1152921504606846976.0)
+                            / cast(n_chars AS double), doc_id) AS r
+          FROM documents WHERE n_chars > 0)
+        WHERE r <= 10
+        """
+    ).df()
+    assert_frames_equal(plain, want, ["lang", "doc_id"])
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # 200 light rows (w=1) + 20 heavy rows (w=50): a k=40 weighted
+    # sample must take most of the heavy rows (deterministic check —
+    # fixed hash, not a flaky statistical one)
+    rows = [("k", i, 1.0) for i in range(200)] + [
+        ("k", 1000 + i, 50.0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["key", "i", "w"])
+    got = sampling.sample_k_per_key(df, "key", 40, "i", weight_col="w").toPandas()
+    heavy = (got["i"] >= 1000).sum()
+    assert heavy >= 15, heavy  # E[heavy] ≈ 18.6 of 20
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 0.0), ("k", 2, -3.0), ("k", 3, None), ("k", 4, 2.0)],
+        ["key", "i", "w"],
+    )
+    got = sampling.sample_k_per_key(df, "key", 10, "i", weight_col="w").toPandas()
+    assert sorted(got["i"]) == [4]
+
+
+def test_split_and_sample_compose_with_streaming(spark, tmp_path, docs):
+    # stateless map-side ops run unchanged on a readStream plan
+    from windflow_spark.streaming import engine as se
+
+    src_dir = str(tmp_path / "src")
+    docs.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = sampling.stratified_sample(
+        sampling.hash_split(
+            se.stream_source(spark, src_dir, schema),
+            "doc_id",
+            {"train": 0.8, "val": 0.2},
+        ),
+        "doc_id",
+        0.5,
+    ).select("doc_id", "split")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    se.run_available_now(stream, sink, ckpt)
+    got = spark.read.parquet(sink).toPandas()
+    want = (
+        sampling.stratified_sample(
+            sampling.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.2}),
+            "doc_id",
+            0.5,
+        )
+        .select("doc_id", "split")
+        .toPandas()
+    )
+    assert_frames_equal(got, want, ["doc_id"])
+
+
 def test_pack_sequences_matches_duckdb(docs, ddb):
     toks = docs.select("doc_id", "source", token_count("text").alias("tok"))
     got = (

@@ -150,26 +150,43 @@ def sample_k_per_key(
     id_col: str,
     salt: str = "kper",
     salt_parts: int = 0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Deterministic uniform k-sample per key: the k rows with the
     smallest hash per key (hash ties broken by id — the CLAUDE.md
     deterministic-tiebreak rule). Equivalent to a seeded reservoir
     sample but order-independent and rerun-stable.
 
+    With ``weight_col``, a WEIGHTED sample without replacement
+    (Efraimidis-Spirakis A-ES): each row draws an exponential jitter
+    ``-ln(u)/w`` from its own hash and the k smallest win — inclusion
+    probability proportional to weight, still fully deterministic.
+    Rows with null or non-positive weight are excluded.
+
     Scale path: min-k is order-insensitive, so with ``salt_parts = S``
     the rank runs in two stages — k survivors per (key, pmod(hash, S))
     sub-group first, then the final k from ≤ S·k survivors per key —
     the same salted decomposition as win_mapreduce.py:32-64. A hot key
     holding 1% of a 100 TB corpus never single-threads one task;
-    results are identical to the one-stage rank."""
+    results are identical to the one-stage rank (both orderings are
+    per-row functions, so stage-1 never evicts a global top-k row)."""
     if k <= 0:
         raise ValueError("k must be positive")
-    h = hash60(id_col, salt).alias("_h")
-    base = df.withColumn("_h", h)
-    order = [F.col("_h").asc(), F.col(id_col).asc()]
+    base = df.withColumn("_hi", hash60(id_col, salt))
+    if weight_col is not None:
+        wc = F.col(weight_col).cast("double")
+        base = base.filter(wc.isNotNull() & (wc > 0))
+        # u in (0, 1]: +1 dodges ln(0) at the 2^-60 corner
+        u = (F.col("_hi") + F.lit(1)) / F.lit(_HASH_DENOM)
+        base = base.withColumn("_rk", -F.log(u) / wc)
+    else:
+        base = base.withColumn("_rk", F.col("_hi"))
+    order = [F.col("_rk").asc(), F.col(id_col).asc()]
     if salt_parts and salt_parts > 1:
+        # sub-group on the INTEGER hash (uniform buckets even when the
+        # rank key is the weighted double jitter)
         sub = Window.partitionBy(
-            F.col(key_col), F.pmod(F.col("_h"), F.lit(int(salt_parts)))
+            F.col(key_col), F.pmod(F.col("_hi"), F.lit(int(salt_parts)))
         ).orderBy(*order)
         base = (
             base.withColumn("_rs", F.row_number().over(sub))
@@ -180,7 +197,7 @@ def sample_k_per_key(
     return (
         base.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= k)
-        .drop("_r", "_h")
+        .drop("_r", "_rk", "_hi")
     )
 
 
