@@ -1101,6 +1101,16 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals — mode frequencies via
+    the sorted-array run-length fold (text.py _max_run): zero
+    exchanges, per-doc features stay embarrassingly parallel at
+    100 TB. Oracle recomputes via unnest + group-by mode counts."""
+    return text.repetition_features(_docs(spark, sf_dir)).select(
+        "doc_id", "top_token_frac", "top_bigram_frac", "distinct_token_ratio"
+    )
+
+
 def q_per_turn_text(spark, sf_dir):
     """input_hint invariant surfaced in the gate: per-row text equality
     after a deterministic Map rewrite, under stable ordering — the
@@ -1156,14 +1166,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #1), so positions 1-50 hold every query that is new this round or
     was never driver-checked (r6 adds streaming_cb_var,
     streaming_cb_userfold, cep_pattern, streaming_cep, hash_split,
-    stratified_sample, sample_k_per_key, pack_sequences), and positions
-    51+ hold only queries with at least three consecutive rounds of
-    driver-green history (r2-r4: cube_agg, rollup_agg, set_ops,
-    topk_per_key, per_turn_text, doc_fingerprint, doc_rolling_hash,
-    text_langid; r6 rotates micro1_stateless, win_tb_hopping,
-    win_cb_tumbling, win_cb_hopping, win_topk, win_count_distinct,
-    accumulator and union_pipes — each driver-green r2-r5, with the
-    rotated semantics still driver-covered in-window: hopping by
+    stratified_sample, sample_k_per_key, pack_sequences,
+    text_repetition), and positions 51+ hold only queries with at
+    least three consecutive rounds of driver-green history (r2-r4:
+    cube_agg, rollup_agg, set_ops, topk_per_key, per_turn_text,
+    doc_fingerprint, doc_rolling_hash, text_langid; r6 rotates
+    micro1_stateless, win_tb_hopping, win_cb_tumbling, win_cb_hopping,
+    win_topk, win_count_distinct, accumulator, union_pipes and
+    win_tb_tumbling — each driver-green r2-r5, with the
+    rotated semantics still driver-covered in-window: tumbling TB by
+    win_tb_sliding + streaming_tumbling + the flagship, hopping by
     streaming_hopping, CB tumbling by streaming_cb and every CB
     streaming gate, top-k by win_topk_pane + streaming_topk, count-
     distinct by win_approx_distinct, accumulate by
@@ -1172,9 +1184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     which covers ALL entries and writes CORRECTNESS_rotated.json for
     the 51+ tail)."""
     return {
-        # — batch windows / operator algebra (10; incl. the new r6
+        # — batch windows / operator algebra (9; incl. the new r6
         #   CEP gate)
-        "win_tb_tumbling": q_win_tb_tumbling,
         "win_tb_sliding": q_win_tb_sliding,
         "win_cb_sliding": q_win_cb_sliding,
         "cep_pattern": q_cep_pattern,
@@ -1190,11 +1201,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_topk_pane": q_win_topk_pane,
         "win_quantile": q_win_quantile,
         "win_approx_distinct": q_win_approx_distinct,
-        # — sampling / splitting / packing (4; new r6)
+        # — sampling / splitting / packing / quality (5; new r6)
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "sample_k_per_key": q_sample_k_per_key,
         "pack_sequences": q_pack_sequences,
+        "text_repetition": q_text_repetition,
         # — LLM-data-pipeline operators (14)
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -1240,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_count_distinct": q_win_count_distinct,
         "accumulator": q_accumulator,
         "union_pipes": q_union_pipes,
+        "win_tb_tumbling": q_win_tb_tumbling,
         "cube_agg": q_cube_agg,
         "rollup_agg": q_rollup_agg,
         "set_ops": q_set_ops,
@@ -1959,6 +1972,31 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY {h_kper}, doc_id) AS r
           FROM documents)
         WHERE r <= 25
+    """
+    sql["text_repetition"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_QUALITY_TOKS} AS t FROM documents),
+        unic AS (
+          SELECT doc_id, round(max(n)::double / sum(n), 6) AS top_token_frac
+          FROM (SELECT doc_id, tok, count(*) AS n
+                FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+                GROUP BY 1, 2)
+          GROUP BY doc_id),
+        bgc AS (
+          SELECT doc_id, round(max(n)::double / sum(n), 6) AS top_bigram_frac
+          FROM (SELECT doc_id, g, count(*) AS n
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                               generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+                      FROM toks)
+                GROUP BY 1, 2)
+          GROUP BY doc_id)
+        SELECT toks.doc_id, unic.top_token_frac, bgc.top_bigram_frac,
+               round(len(list_distinct(t))::double / len(t), 6)
+                 AS distinct_token_ratio
+        FROM toks JOIN unic USING (doc_id)
+        LEFT JOIN bgc USING (doc_id)
     """
     sql["pack_sequences"] = f"""
         SELECT source, bin_id, cast(count(*) AS BIGINT) AS n_docs,

@@ -404,3 +404,76 @@ def test_persisted_scope_releases_only_inner_entries(spark):
     assert len(dedup._PERSISTED) == 1  # inner entries released
     assert dedup._PERSISTED[0] is outer  # pre-existing entry untouched
     assert dedup.unpersist_all() == 1
+
+
+def test_repetition_features_vs_duckdb(docs, ddb):
+    got = (
+        text.repetition_features(docs)
+        .select(
+            "doc_id", "top_token_frac", "top_bigram_frac", "distinct_token_ratio"
+        )
+        .toPandas()
+    )
+    want = ddb.execute(
+        """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents),
+        unic AS (
+          SELECT doc_id, round(max(n)::double / sum(n), 6) AS top_token_frac
+          FROM (SELECT doc_id, tok, count(*) AS n
+                FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+                GROUP BY 1, 2)
+          GROUP BY doc_id),
+        bg AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i + 1]) AS b
+          FROM toks),
+        bgc AS (
+          SELECT doc_id, round(max(n)::double / sum(n), 6) AS top_bigram_frac
+          FROM (SELECT doc_id, g, count(*) AS n
+                FROM (SELECT doc_id, unnest(b) AS g FROM bg)
+                GROUP BY 1, 2)
+          GROUP BY doc_id)
+        SELECT toks.doc_id, unic.top_token_frac, bgc.top_bigram_frac,
+               round(len(list_distinct(t))::double / len(t), 6)
+                 AS distinct_token_ratio
+        FROM toks JOIN unic USING (doc_id)
+        LEFT JOIN bgc USING (doc_id)
+        """
+    ).df()
+    assert_frames_equal(got, want, ["doc_id"])
+
+
+def test_repetition_features_hand_fixture(spark):
+    rows = [
+        (1, "a a a b"),            # top token 3/4, bigrams: 'a a'x2,'a b' -> 2/3
+        (2, "x y\nx y\nz"),        # dup lines: 3 lines, 2 distinct
+        (3, ""),                   # empty: [''] -> 1.0, no bigrams -> NULL
+        (4, "w"),                  # single token: 1.0, no bigrams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = (
+        text.repetition_features(df)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "top_token_frac"] == 0.75
+    assert got.loc[1, "top_bigram_frac"] == round(2 / 3, 6)
+    assert got.loc[1, "distinct_token_ratio"] == 0.5
+    assert got.loc[2, "dup_line_frac"] == round(1 - 2 / 3, 6)
+    # line chars: 'x y'(3)*2 + 'z'(1) = 7, distinct = 4 -> 1 - 4/7
+    assert got.loc[2, "dup_line_char_frac"] == round(1 - 4 / 7, 6)
+    assert got.loc[3, "top_token_frac"] == 1.0
+    assert pd.isna(got.loc[3, "top_bigram_frac"])
+    assert got.loc[3, "dup_line_char_frac"] == 0.0
+    assert got.loc[4, "top_token_frac"] == 1.0
+    assert pd.isna(got.loc[4, "top_bigram_frac"])
+
+
+def test_repetition_features_plan_is_shuffle_free(docs):
+    out = text.repetition_features(docs).select("doc_id", "top_token_frac")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

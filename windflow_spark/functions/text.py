@@ -118,3 +118,96 @@ def rolling_hash(col: Column | str, base: int = ROLLING_B, mod: int = ROLLING_P)
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * F.lit(base) + F.ascii(ch)) % F.lit(mod),
     )
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array == the
+    top element frequency — a linear codegen'd fold (F.aggregate), so
+    per-doc mode frequencies never explode tokens into a shuffle."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("cur"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        cur = (
+            F.when(x.eqNullSafe(acc["prev"]), acc["cur"] + F.lit(1))
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), cur.alias("cur"),
+            F.greatest(acc["best"], cur).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def bigrams(col: Column | str) -> Column:
+    """Adjacent word-bigram array (map-side slice construction, same
+    shape as dedup.word_shingles n=2)."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, entirely map-side (zero
+    exchanges — per-doc features over 100 TB stay embarrassingly
+    parallel):
+
+    - ``top_token_frac``: occurrences of the most frequent token /
+      total tokens (empty text tokenizes to [''] → 1.0, i.e. maximally
+      repetitive — the right answer for a quality filter);
+    - ``top_bigram_frac``: same over adjacent word bigrams; NULL when
+      the doc has < 2 tokens (no bigrams — undefined, not 0);
+    - ``distinct_token_ratio``: distinct / total tokens;
+    - ``dup_line_frac``: 1 − distinct lines / lines (newline-split);
+    - ``dup_line_char_frac``: 1 − chars of distinct lines / chars of
+      all lines — the EXCESS-occurrence character fraction (each
+      repeated line's first occurrence is not counted as duplicated;
+      Gopher's variant counts all occurrences of any repeated line —
+      this one is cheaper and monotone in the same signal).
+
+    Mode frequencies come from the longest equal-run of the SORTED
+    token/bigram array (`_max_run`) — linear, codegen'd, no shuffle.
+    All fractions rounded to 6 places (engine/oracle float contract).
+    """
+    t = tokens(text_col)
+    bg = bigrams(text_col)
+    lines = F.split(F.col(text_col), "\n")
+    dlines = F.array_distinct(lines)
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    dline_chars = F.aggregate(
+        dlines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    return df.withColumns(
+        {
+            "top_token_frac": r6(
+                _max_run(F.array_sort(t)) / F.size(t).cast("double")
+            ),
+            "top_bigram_frac": F.when(
+                F.size(bg) > 0,
+                r6(_max_run(F.array_sort(bg)) / F.size(bg).cast("double")),
+            ),
+            "distinct_token_ratio": r6(
+                F.size(F.array_distinct(t)) / F.size(t).cast("double")
+            ),
+            "dup_line_frac": r6(
+                F.lit(1.0) - F.size(dlines) / F.size(lines).cast("double")
+            ),
+            "dup_line_char_frac": F.when(
+                line_chars > 0,
+                r6(F.lit(1.0) - dline_chars / line_chars.cast("double")),
+            ).otherwise(F.lit(0.0)),
+        }
+    )
