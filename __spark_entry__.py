@@ -1014,6 +1014,30 @@ def q_streaming_cep(spark, sf_dir):
     return se.run_to_memory(out, name, spark, output_mode="append")
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (engine.stream_exact_dedup): the documents
+    table staged TWICE and drained file-per-trigger, so every digest
+    arrives in >= 2 micro-batches — the stateful dedup must emit each
+    first-seen digest exactly once. Digest-only projection keeps the
+    gate deterministic (which arrival survives is order-dependent;
+    the digest SET is not)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from windflow_spark.streaming import engine as se
+
+    path = tempfile.mkdtemp(prefix="wf_gate_sdedup_")
+    shutil.copy(f"{sf_dir}/documents.parquet", os.path.join(path, "a.parquet"))
+    shutil.copy(f"{sf_dir}/documents.parquet", os.path.join(path, "b.parquet"))
+    schema = _utc(spark).read.parquet(path).schema
+    src = se.stream_source(spark, path, schema, max_files_per_trigger=1)
+    out = se.stream_exact_dedup(src, "text").select("digest")
+    name = f"gate_stream_dedup_{uuid.uuid4().hex[:8]}"
+    return se.run_to_memory(out, name, spark, output_mode="append")
+
+
 def q_streaming_session_eos(spark, sf_dir):
     """Session arm of the eosnotify flush (win_seq.hpp:432-474 —
     completing the CB/TB/session symmetry, VERDICT r4 #7): an
@@ -1167,14 +1191,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     was never driver-checked (r6 adds streaming_cb_var,
     streaming_cb_userfold, cep_pattern, streaming_cep, hash_split,
     stratified_sample, sample_k_per_key, pack_sequences,
-    text_repetition), and positions 51+ hold only queries with at
+    text_repetition, streaming_dedup), and positions 51+ hold only queries with at
     least three consecutive rounds of driver-green history (r2-r4:
     cube_agg, rollup_agg, set_ops, topk_per_key, per_turn_text,
     doc_fingerprint, doc_rolling_hash, text_langid; r6 rotates
     micro1_stateless, win_tb_hopping, win_cb_tumbling, win_cb_hopping,
-    win_topk, win_count_distinct, accumulator, union_pipes and
-    win_tb_tumbling — each driver-green r2-r5, with the
-    rotated semantics still driver-covered in-window: tumbling TB by
+    win_topk, win_count_distinct, accumulator, union_pipes,
+    win_tb_tumbling and ooo_drop — each driver-green r2-r5, with the
+    rotated semantics still driver-covered in-window: the out-of-order
+    drop rule by streaming_cb, tumbling TB by
     win_tb_sliding + streaming_tumbling + the flagship, hopping by
     streaming_hopping, CB tumbling by streaming_cb and every CB
     streaming gate, top-k by win_topk_pane + streaming_topk, count-
@@ -1194,7 +1219,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_mapreduce_sliding": q_win_mapreduce_sliding,
         "hypertable_rollup": q_hypertable_rollup,
         "session_windows": q_session_windows,
-        "ooo_drop": q_ooo_drop,
         # — pipes / joins / windowed extensions (6)
         "asof_join": q_asof_join,
         "ysb_pipeline": q_ysb_pipeline,
@@ -1222,9 +1246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
-        # — streaming (17; incl. the new r6 gates streaming_cb_var,
-        #   streaming_cb_userfold and streaming_cep, inside the
-        #   50-entry window)
+        # — streaming (18; incl. the new r6 gates streaming_cb_var,
+        #   streaming_cb_userfold, streaming_cep and streaming_dedup,
+        #   inside the 50-entry window)
         "streaming_tumbling": q_streaming_tumbling,
         "streaming_cb": q_streaming_cb,
         "streaming_hopping": q_streaming_hopping,
@@ -1242,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cb_var": q_streaming_cb_var,
         "streaming_cb_userfold": q_streaming_cb_userfold,
         "streaming_cep": q_streaming_cep,
+        "streaming_dedup": q_streaming_dedup,
         # ---- position 51+: three-round-stable rotation (driver checks
         #      stop at 50; tools/check_entry.py still checks these)
         "micro1_stateless": q_micro1_stateless,
@@ -1253,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "accumulator": q_accumulator,
         "union_pipes": q_union_pipes,
         "win_tb_tumbling": q_win_tb_tumbling,
+        "ooo_drop": q_ooo_drop,
         "cube_agg": q_cube_agg,
         "rollup_agg": q_rollup_agg,
         "set_ops": q_set_ops,
@@ -1844,6 +1870,11 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["cep_pattern"] = _cep_sql
     sql["streaming_cep"] = _cep_sql
+    # one digest per distinct text, regardless of how many micro-batches
+    # (the gate stages the table twice) — the digest SET is the check
+    sql["streaming_dedup"] = """
+        SELECT DISTINCT md5(text) AS digest FROM documents
+    """
     # user-registered vrange fold: max − min is exact fp64 on both
     # sides (no accumulation), so 4-dp rounding agrees
     sql["streaming_cb_userfold"] = """

@@ -1045,3 +1045,58 @@ def test_register_cb_op_rejects_non_decomposable():
             "sum", n_slots=1, batch=_median_batch, merge=lambda o, n: o,
             finalize=lambda s: s[0],
         )
+
+
+def test_stream_exact_dedup_cross_batch(spark, tx_path, tdir):
+    """Every digest arrives in >= 2 different micro-batches (the same
+    shards staged twice, one file per trigger): the stateful dedup must
+    emit each digest exactly once, equal to the batch distinct set."""
+    import uuid
+
+    src_dir = str(tdir / "dedup_src")
+    os.makedirs(src_dir, exist_ok=True)
+    for f in os.listdir(tx_path):
+        shutil.copy(os.path.join(tx_path, f), os.path.join(src_dir, "a_" + f))
+        shutil.copy(os.path.join(tx_path, f), os.path.join(src_dir, "b_" + f))
+    schema = spark.read.parquet(src_dir).schema
+    src = se.stream_source(spark, src_dir, schema, max_files_per_trigger=1)
+    out = se.stream_exact_dedup(src, "text").select("digest")
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    got = se.run_to_memory(out, name, spark, output_mode="append").toPandas()
+    want = (
+        spark.read.parquet(src_dir)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .toPandas()
+    )
+    assert not got["digest"].duplicated().any()
+    assert sorted(got["digest"]) == sorted(want["digest"])
+
+
+def test_stream_exact_dedup_watermark_mode(spark, tx_path):
+    """dropDuplicatesWithinWatermark arm: bounded digest state, still
+    a full dedup within the drained backlog."""
+    import uuid
+
+    schema = spark.read.parquet(tx_path).schema
+    src = se.stream_source(spark, tx_path, schema)
+    out = se.stream_exact_dedup(
+        src, "text", ts_col="ts", watermark="365 days"
+    ).select("digest")
+    name = f"dedupwm_{uuid.uuid4().hex[:8]}"
+    got = se.run_to_memory(out, name, spark, output_mode="append").toPandas()
+    want = (
+        spark.read.parquet(tx_path)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .toPandas()
+    )
+    assert not got["digest"].duplicated().any()
+    assert sorted(got["digest"]) == sorted(want["digest"])
+
+
+def test_stream_exact_dedup_requires_ts_for_watermark(spark, tx_path):
+    schema = spark.read.parquet(tx_path).schema
+    src = se.stream_source(spark, tx_path, schema)
+    with pytest.raises(ValueError, match="ts_col"):
+        se.stream_exact_dedup(src, "text", watermark="1 hour")

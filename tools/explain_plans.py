@@ -30,6 +30,10 @@ SHOW = [
     "win_topk_pane",
     "win_quantile",
     "cep_pattern",
+    "hash_split",
+    "sample_k_per_key",
+    "pack_sequences",
+    "text_repetition",
 ]
 
 

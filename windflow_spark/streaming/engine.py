@@ -60,6 +60,38 @@ def _as_ts(df: DataFrame, ts_col: str) -> DataFrame:
     return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
 
 
+def stream_exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    ts_col: str | None = None,
+    watermark: str | None = None,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Streaming exact dedup for continuous corpus ingestion: one row
+    per first-seen content digest, across micro-batches (the streaming
+    arm of functions/dedup.exact_dedup — same md5 digest key).
+
+    State = one entry per DISTINCT digest (32-byte key + bookkeeping),
+    bounded by distinct content, not stream length — the right shape
+    for an append-heavy 100 TB feed where most arrivals are dupes.
+    With ``ts_col`` + ``watermark``, uses dropDuplicatesWithinWatermark
+    so digest state expires past the lateness bound: the unbounded-
+    retention global mode is then handled by a periodic batch
+    compaction (dedup.exact_dedup over the sink), which is how a
+    production pipeline bounds streaming state.
+
+    Which arrival survives per digest is arrival-order-dependent;
+    consumers needing a deterministic keeper re-key downstream
+    (e.g. min id per digest — exact_dedup's rule)."""
+    out = df.withColumn(digest_col, F.md5(F.col(text_col)))
+    if watermark is not None:
+        if ts_col is None:
+            raise ValueError("watermark requires ts_col")
+        out = _as_ts(out, ts_col).withWatermark(ts_col, watermark)
+        return out.dropDuplicatesWithinWatermark([digest_col])
+    return out.dropDuplicates([digest_col])
+
+
 def stream_win_tb(
     df: DataFrame,
     keys: Sequence[str],
