@@ -90,3 +90,83 @@ def test_job_drains_and_flushes_to_batch_parity(tmp_path):
     assert len(got) > 0
     assert_frames_equal(got, want, ["conv_id", "gwid"])
     shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not on this image"
+)
+def test_curate_corpus_job_end_to_end(tmp_path):
+    """The batch curation job (quality -> dedup -> split -> pack) under
+    real spark-submit, verified against the same stages composed
+    in-process: the job is a pure function of its inputs, so the
+    spark-submit run and the library composition must agree row-set
+    for row-set."""
+    import json
+
+    shutil.copytree("/root/testdata/sf0.001", tmp_path / "docs_all",
+                    dirs_exist_ok=True)
+    (tmp_path / "in").mkdir()
+    shutil.copy(tmp_path / "docs_all" / "documents.parquet",
+                tmp_path / "in" / "documents.parquet")
+
+    zip_path = tmp_path / "wf.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for p in (REPO / "windflow_spark").rglob("*.py"):
+            z.write(p, p.relative_to(REPO))
+
+    report = tmp_path / "report.json"
+    cmd = [
+        SPARK_SUBMIT, "--master", "local[4]", "--py-files", str(zip_path),
+        str(REPO / "jobs" / "curate_corpus.py"),
+        "--input", str(tmp_path / "in"),
+        "--output", str(tmp_path / "curated"),
+        "--report", str(report),
+        "--budget", "256",
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
+                         cwd=str(REPO))
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(report.read_text())
+    assert summary["rows_in"] == 500
+    assert 0 < summary["after_dedup_and_split"] <= summary["after_quality"]
+    assert set(summary["splits"]) <= {"train", "val"}
+    assert summary["packed_bins"] >= 1
+
+    # in-process replica of the same composition
+    from pyspark.sql import functions as F
+
+    from windflow_spark.functions import dedup, sampling, text
+    from windflow_spark.session import get_spark
+
+    spark = get_spark("curate-parity", master="local[4]",
+                      shuffle_partitions=4, streaming=True)
+    docs = spark.read.parquet(str(tmp_path / "in"))
+    feat = text.repetition_features(text.quality_features(docs), "text")
+    kept_q = feat.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("distinct_token_ratio") >= 0.2)
+        & (F.col("top_token_frac") <= 0.6)
+    )
+    with dedup.persisted_scope():
+        keep = dedup.dedup_keep_list(kept_q, "doc_id", "text",
+                                     threshold=0.8, max_df=1000)
+        deduped = kept_q.join(
+            keep.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+        )
+        split = sampling.hash_split(
+            deduped, "doc_id", {"train": 0.95, "val": 0.05}
+        ).withColumn("_tok", text.token_count("text"))
+        want = (
+            sampling.pack_sequences(split, "doc_id", "_tok", 256,
+                                    key_col="split")
+            .select("doc_id", "split", "bin_id")
+            .toPandas()
+        )
+    got = (
+        spark.read.parquet(str(tmp_path / "curated"))
+        .select("doc_id", "split", "bin_id")
+        .toPandas()
+    )
+    from tests.conftest import assert_frames_equal
+
+    assert_frames_equal(got, want, ["doc_id"])
