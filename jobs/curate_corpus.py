@@ -50,7 +50,10 @@ def main() -> None:
     ap.add_argument("--train", type=float, default=0.95)
     ap.add_argument("--val", type=float, default=0.05)
     ap.add_argument("--report", default=None,
-                    help="write stage counts as one JSON line")
+                    help="write stage counts as one JSON line; stage "
+                         "counts cost one extra scan per stage (rows_in, "
+                         "after_quality) — omit on a 100 TB run where the "
+                         "sink-side summary suffices")
     args = ap.parse_args()
 
     from windflow_spark.functions import dedup, sampling, text
@@ -58,7 +61,7 @@ def main() -> None:
 
     spark = get_spark("windflow-curate")
     docs = spark.read.parquet(args.input)
-    n_in = docs.count()
+    n_in = docs.count() if args.report else None
 
     # 1. quality + repetition signals (both map-side, zero exchanges)
     feat = text.repetition_features(
@@ -69,7 +72,7 @@ def main() -> None:
         & (F.col("distinct_token_ratio") >= args.min_distinct_ratio)
         & (F.col("top_token_frac") <= args.max_top_token)
     )
-    n_quality = kept_q.count()
+    n_quality = kept_q.count() if args.report else None
 
     # 2. near-dup dedup over the quality survivors (LSH-bounded verify)
     with dedup.persisted_scope():
