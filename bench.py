@@ -75,6 +75,7 @@ HEADLINE = [
     "embedding_topk",
     "text_quality",
     "cep_pattern",  # r6: battery grew to 16 queries
+    "text_repetition",  # r6: the zero-shuffle mode-frequency fold at sf
 ]
 
 
@@ -810,6 +811,16 @@ def main() -> None:
     # timeout at any point still leaves a complete parseable artifact
     # as the last line inside the driver's stdout tail window; the full
     # artifact goes to BENCH/latest_full.json each time
+    # a --no-scaling full run must not clobber the cross-run sections
+    # (scaling.runs_history!) with empty skeletons — carry the previous
+    # artifact's sections forward, explicitly marked (same lesson as
+    # VERDICT r4 #3, one level up)
+    def _carry(section: str) -> dict:
+        if do_scaling:
+            return {}
+        prev = _PREV_FULL.get(section) or {}
+        return {**prev, "carried_from_previous_run": True} if prev else {}
+
     artifact = {
         "metric": "headline_battery_seconds",
         "value": round(sum(times.values()), 3),
@@ -819,8 +830,8 @@ def main() -> None:
         "battery_steal_cap": BATTERY_STEAL_CAP,
         "sf": SF_DIR,
         "throughput": throughput,
-        "streaming": {},
-        "scaling": {},
+        "streaming": _carry("streaming"),
+        "scaling": _carry("scaling"),
     }
 
     emit = _make_emit(artifact)
