@@ -1,3 +1,4 @@
-from windflow_spark.functions import dedup, multimodal, similarity, text
+from windflow_spark.functions import (dedup, multimodal, sampling,
+                                      similarity, text)
 
-__all__ = ["text", "dedup", "similarity", "multimodal"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "sampling"]

@@ -214,12 +214,18 @@ def pack_sequences(
     packing for LLM pretraining shards): documents are laid out in a
     deterministic order (``order_col``, tie-broken by id; default the
     id itself), and a document starting at cumulative token offset t
-    goes to bin ``t div budget``. Bins are contiguous, deterministic,
-    and overflow by at most one document — the standard streaming
+    goes to bin ``t div budget``. Bin ids are deterministic and
+    non-decreasing in layout order, and a bin holds less than
+    ``budget + its largest document`` tokens — the standard streaming
     first-fit approximation, computed as a single window cumsum (one
     exchange when ``key_col`` partitions the layout, e.g. per source;
     global packing at 100 TB should always pass a key — a keyless
-    window is a single-task sort).
+    window is a single-task sort). Bin ids are contiguous from 0 only
+    while every document fits the budget: a document spanning multiple
+    budget units advances the offset past the skipped bins (ids stay
+    meaningful as exact token offsets ÷ budget; dense shard numbers,
+    if needed, are one ``dense_rank`` over (key, bin_id) downstream —
+    property-tested in tests/test_property_sampling.py).
 
     Bin ids use exact integer floor division (windows.py:82-92) — token
     counts are int64 and cumulative sums at corpus scale exceed 2^53,
