@@ -20,15 +20,28 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<float|double> columns, computed in
-    float64 with deterministic left-to-right summation (F.aggregate is
-    sequential) so oracles can match it."""
+def dot_product(a: Column, b: Column) -> Column:
+    """float64 dot product with deterministic left-to-right summation
+    (F.aggregate is sequential) so oracles can match it."""
     ad, bd = a.cast("array<double>"), b.cast("array<double>")
-    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    na = F.sqrt(F.aggregate(F.zip_with(ad, ad, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x))
-    nb = F.sqrt(F.aggregate(F.zip_with(bd, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x))
-    return dot / (na * nb)
+    return F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    """float64 L2 norm, same summation contract as dot_product."""
+    return F.sqrt(dot_product(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns. For joins,
+    prefer precomputing ``l2_norm`` per ROW on each side and dividing
+    the pair dot by the norm product — this expression recomputes both
+    norms per PAIR (the brute-force path paid 3 aggregate folds per
+    pair before r6 precomputed them; result is bit-identical since the
+    op sequence dot/(sqrt(aa)*sqrt(bb)) is unchanged)."""
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 
 def ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -48,15 +61,19 @@ def ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     EXCLUDED before ranking: pandas sort_values places NaN last while
     Spark's desc window ranks NaN greatest, so a NaN surviving into
     phase 1 would break the two-phase equivalence — and a NaN "top"
-    neighbor is meaningless anyway."""
-    slim = scored.select("q_id", "c_id", "cos").filter(
-        F.col("cos").isNotNull() & ~F.isnan("cos")
-    )
+    neighbor is meaningless anyway. The exclusion happens INSIDE the
+    pandas prune (dropna), not as a Catalyst filter: a filter on the
+    cos column gets pushed into the producing join's CONDITION, where
+    its null/NaN checks re-evaluate the whole cosine expression per
+    pair on top of the projection's copy (observed 3× the fold work in
+    the brute-force plan)."""
+    slim = scored.select("q_id", "c_id", "cos")
     schema = slim.schema
 
     def _prune(batches):
         acc = None
         for pdf in batches:
+            pdf = pdf[np.isfinite(pdf["cos"].to_numpy())]
             acc = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
             acc = (
                 acc.sort_values(
@@ -90,14 +107,25 @@ def brute_force_topk(
     rank by (rounded cosine desc, corpus id asc) — rounding makes the
     ranking reproducible across engines/summation orders."""
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_n"),
     )
     c = corpus.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_n"),
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to))
+    # norms are per-ROW projections (N + Q folds total, not N×Q); the
+    # per-pair work is ONE dot fold. Same op sequence as
+    # dot/(sqrt(aa)*sqrt(bb)) -> bit-identical cosines.
+    scored = c.join(F.broadcast(q), F.col("c_id") != F.col("q_id")).withColumn(
+        "cos",
+        F.round(
+            dot_product(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_n") * F.col("c_n")),
+            round_to,
+        ),
     )
     return ranked_topk(scored, k)
 
