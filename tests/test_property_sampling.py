@@ -94,6 +94,17 @@ def test_sampling_contracts_hold(small, weights, k, parts, budget, salt):
         .toPandas()
     )
     assert (agg["s"] < budget + agg["m"]).all()
+    # dense=True is always contiguous from 0, for ANY budget; one extra
+    # Window over the same partitioning (no extra exchange)
+    dense = sampling.pack_sequences(
+        small, "id", "tok", budget, key_col="key", dense=True
+    )
+    dagg = dense.groupBy("key", "bin_id").count().toPandas()
+    for _, g in dagg.groupby("key"):
+        bins = sorted(g["bin_id"])
+        assert bins == list(range(len(bins)))
+    plan = dense._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
     max_tok = 49  # _stream fixture bound
     for _, g in agg.groupby("key"):
         bins = sorted(g["bin_id"])

@@ -209,6 +209,7 @@ def pack_sequences(
     key_col: str | None = None,
     order_col: str | None = None,
     bin_col: str = "bin_id",
+    dense: bool = False,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget bins (offline sequence
     packing for LLM pretraining shards): documents are laid out in a
@@ -223,9 +224,11 @@ def pack_sequences(
     window is a single-task sort). Bin ids are contiguous from 0 only
     while every document fits the budget: a document spanning multiple
     budget units advances the offset past the skipped bins (ids stay
-    meaningful as exact token offsets ÷ budget; dense shard numbers,
-    if needed, are one ``dense_rank`` over (key, bin_id) downstream —
-    property-tested in tests/test_property_sampling.py).
+    meaningful as exact token offsets ÷ budget — property-tested in
+    tests/test_property_sampling.py). ``dense=True`` renumbers bins
+    contiguously per key via dense_rank — a second Window over the
+    SAME partitioning, so no extra exchange; use it when bin ids name
+    output shards.
 
     Bin ids use exact integer floor division (windows.py:82-92) — token
     counts are int64 and cumulative sums at corpus scale exceed 2^53,
@@ -241,4 +244,10 @@ def pack_sequences(
     w = Window.partitionBy(*parts).orderBy(*order)
     tok = F.col(token_col).cast("long")
     start = (F.sum(tok).over(w) - tok).alias("_start")
-    return df.withColumn(bin_col, floordiv(start, int(budget)))
+    out = df.withColumn(bin_col, floordiv(start, int(budget)))
+    if dense:
+        dw = Window.partitionBy(*parts).orderBy(F.col(bin_col).asc())
+        out = out.withColumn(
+            bin_col, (F.dense_rank().over(dw) - F.lit(1)).cast("long")
+        )
+    return out
