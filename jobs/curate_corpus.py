@@ -47,6 +47,12 @@ def main() -> None:
                     help="posting-list cap for the Jaccard verify stage")
     ap.add_argument("--budget", type=int, default=2048,
                     help="token budget per packed bin")
+    ap.add_argument("--pack-buckets", type=int, default=256,
+                    help="target bucket count for the pack stage's "
+                         "distributed prefix-sum layout (= the stage's "
+                         "sort parallelism; a split-keyed single window "
+                         "would be ONE task per split at 100 TB). Needs "
+                         "a numeric id column; 0 disables bucketing")
     ap.add_argument("--train", type=float, default=0.95)
     ap.add_argument("--val", type=float, default=0.05)
     ap.add_argument("--report", default=None,
@@ -85,14 +91,36 @@ def main() -> None:
             args.id_col, "left_semi",
         )
 
-        # 3. deterministic split + per-split token-budget packing
+        # 3. deterministic split + per-split token-budget packing.
+        # The pack layout is bucketed (two-pass prefix sum) so its sort
+        # parallelism is --pack-buckets, not the 2-3-value split
+        # cardinality: bucket = floordiv(id - lo, span) is monotone in
+        # the layout order (doc_id asc), and [lo, hi] comes from ONE
+        # column-pruned min/max over the RAW input (parquet footer
+        # stats), which bounds every surviving id.
         split = sampling.hash_split(
             deduped, args.id_col, {"train": args.train, "val": args.val}
         ).withColumn("_tok", text.token_count(args.text_col))
-        packed = sampling.pack_sequences(
-            split, args.id_col, "_tok", args.budget,
-            key_col="split", order_col=None,
-        ).drop("_tok")
+        from pyspark.sql.types import NumericType
+        numeric_id = isinstance(docs.schema[args.id_col].dataType, NumericType)
+        if args.pack_buckets > 1 and numeric_id:
+            from windflow_spark.operators.windows import floordiv
+            lo, hi = docs.agg(
+                F.min(args.id_col), F.max(args.id_col)
+            ).first()
+            span = max(1, (int(hi) - int(lo)) // args.pack_buckets + 1)
+            packed = sampling.pack_sequences(
+                split.withColumn(
+                    "_bk", floordiv(F.col(args.id_col) - F.lit(int(lo)), span)
+                ),
+                args.id_col, "_tok", args.budget,
+                key_col="split", order_col=None, bucket_col="_bk",
+            ).drop("_tok", "_bk")
+        else:
+            packed = sampling.pack_sequences(
+                split, args.id_col, "_tok", args.budget,
+                key_col="split", order_col=None,
+            ).drop("_tok")
 
         packed.write.mode("overwrite").partitionBy("split").parquet(args.output)
 

@@ -100,7 +100,10 @@ def test_curate_corpus_job_end_to_end(tmp_path):
     real spark-submit, verified against the same stages composed
     in-process: the job is a pure function of its inputs, so the
     spark-submit run and the library composition must agree row-set
-    for row-set."""
+    for row-set. The replica packs with the SINGLE-WINDOW layout while
+    the job uses the bucketed two-pass prefix sum (--pack-buckets), so
+    this equality is also the job-level parity proof for the
+    distributed layout."""
     import json
 
     shutil.copytree("/root/testdata/sf0.001", tmp_path / "docs_all",

@@ -63,8 +63,9 @@ def small(spark):
     parts=st.integers(min_value=0, max_value=6),
     budget=st.integers(min_value=1, max_value=400),
     salt=st.sampled_from(["", "s1", "s2"]),
+    span=st.integers(min_value=1, max_value=400),
 )
-def test_sampling_contracts_hold(small, weights, k, parts, budget, salt):
+def test_sampling_contracts_hold(small, weights, k, parts, budget, salt, span):
     # split partitions the input: every row in exactly one split
     split = sampling.hash_split(small, "id", weights, salt=salt)
     got = split.groupBy("split").count().toPandas()
@@ -105,6 +106,26 @@ def test_sampling_contracts_hold(small, weights, k, parts, budget, salt):
         assert bins == list(range(len(bins)))
     plan = dense._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+    # bucketed two-pass prefix-sum layout == single-window layout for
+    # ANY coarsening span of the layout order, plain and dense (span 1
+    # = one bucket per row; span 400 = one bucket total)
+    from windflow_spark.operators.windows import floordiv
+
+    b = small.withColumn("_bk", floordiv(F.col("id"), span))
+    for dense_flag in (False, True):
+        want = sampling.pack_sequences(
+            b, "id", "tok", budget, key_col="key", dense=dense_flag
+        )
+        got = sampling.pack_sequences(
+            b, "id", "tok", budget, key_col="key", dense=dense_flag,
+            bucket_col="_bk",
+        )
+        assert_frames_equal(
+            got.select("id", "bin_id").toPandas(),
+            want.select("id", "bin_id").toPandas(),
+            ["id"],
+        )
+
     max_tok = 49  # _stream fixture bound
     for _, g in agg.groupby("key"):
         bins = sorted(g["bin_id"])

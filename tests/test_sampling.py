@@ -325,3 +325,91 @@ def test_sampling_plans_shuffle_free_or_single_exchange(docs):
     packed = sampling.pack_sequences(toks, "doc_id", "tok", 200, key_col="source")
     plan = packed._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ---- bucketed two-pass packing (distributed prefix sum) ------------
+
+
+def _bucketed(docs, span=37):
+    from windflow_spark.operators.windows import floordiv
+
+    return docs.select(
+        "doc_id", "source", token_count("text").alias("tok")
+    ).withColumn("_bk", floordiv(F.col("doc_id"), span))
+
+
+def test_pack_sequences_bucketed_parity(docs):
+    """Two-pass prefix-sum layout == single-window layout, bin for bin,
+    for every (key, dense) combination — the win_mapreduce-style
+    decomposition of the running sum (VERDICT r6 scale fix: pack
+    parallelism must not be split cardinality)."""
+    b = _bucketed(docs)
+    for dense in (False, True):
+        for key in (None, "source"):
+            plain = (
+                sampling.pack_sequences(
+                    b, "doc_id", "tok", 200, key_col=key, dense=dense
+                )
+                .select("doc_id", "bin_id")
+                .toPandas()
+            )
+            buck = (
+                sampling.pack_sequences(
+                    b, "doc_id", "tok", 200, key_col=key, dense=dense,
+                    bucket_col="_bk",
+                )
+                .select("doc_id", "bin_id")
+                .toPandas()
+            )
+            assert_frames_equal(buck, plain, ["doc_id"])
+
+
+def test_pack_sequences_bucketed_oversized_and_boundary(docs):
+    """budget << every doc: all bin ids skip, and adjacent buckets can
+    never share a bin — the opposite extreme, budget >> totals, forces
+    EVERY bucket boundary to share bin 0. Both stress the dense
+    decomposition's shared-bin correction."""
+    b = _bucketed(docs, span=13)
+    for budget in (3, 10_000_000):
+        plain = (
+            sampling.pack_sequences(
+                b, "doc_id", "tok", budget, key_col="source", dense=True
+            )
+            .select("doc_id", "bin_id")
+            .toPandas()
+        )
+        buck = (
+            sampling.pack_sequences(
+                b, "doc_id", "tok", budget, key_col="source", dense=True,
+                bucket_col="_bk",
+            )
+            .select("doc_id", "bin_id")
+            .toPandas()
+        )
+        assert_frames_equal(buck, plain, ["doc_id"])
+
+
+def test_pack_sequences_bucketed_plan(docs):
+    """Plan contract for the 100 TB posture: the big-side window
+    partitions by (key, bucket) — sort parallelism = bucket count —
+    the cumulative bucket offsets come back via a BROADCAST join, and
+    no window over doc-level rows partitions by the key alone."""
+    import re
+
+    from windflow_spark.plans import audit
+
+    packed = sampling.pack_sequences(
+        _bucketed(docs), "doc_id", "tok", 200,
+        key_col="source", bucket_col="_bk",
+    )
+    plan = audit.physical_plan(packed)
+    assert re.search(
+        r"windowspecdefinition\(source#\d+, _bk#\d+L, doc_id#", plan
+    ), plan
+    assert audit.has_broadcast_join(packed), plan
+    assert not audit.has_cartesian(packed)
+    # a key-only window over the doc-level order = the single-task-per-
+    # split shape the bucketed path exists to avoid
+    assert not re.search(
+        r"windowspecdefinition\(source#\d+, doc_id#", plan
+    ), plan

@@ -64,7 +64,10 @@ def split_thresholds(weights: dict[str, float]) -> list[tuple[str, float]]:
     acc = 0.0
     names = list(weights)
     for name in names[:-1]:
-        acc += weights[name] / total
+        # clamp: cumulative float drift can overshoot 1.0 (e.g. a
+        # zero-weight tail after weights {2.0, 2.00001}), breaking the
+        # monotone-thresholds contract against the pinned 1.0 tail
+        acc = min(acc + weights[name] / total, 1.0)
         out.append((name, acc))
     out.append((names[-1], 1.0))
     return out
@@ -210,6 +213,7 @@ def pack_sequences(
     order_col: str | None = None,
     bin_col: str = "bin_id",
     dense: bool = False,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget bins (offline sequence
     packing for LLM pretraining shards): documents are laid out in a
@@ -218,36 +222,110 @@ def pack_sequences(
     goes to bin ``t div budget``. Bin ids are deterministic and
     non-decreasing in layout order, and a bin holds less than
     ``budget + its largest document`` tokens — the standard streaming
-    first-fit approximation, computed as a single window cumsum (one
-    exchange when ``key_col`` partitions the layout, e.g. per source;
-    global packing at 100 TB should always pass a key — a keyless
-    window is a single-task sort). Bin ids are contiguous from 0 only
+    first-fit approximation. Bin ids are contiguous from 0 only
     while every document fits the budget: a document spanning multiple
     budget units advances the offset past the skipped bins (ids stay
     meaningful as exact token offsets ÷ budget — property-tested in
     tests/test_property_sampling.py). ``dense=True`` renumbers bins
-    contiguously per key via dense_rank — a second Window over the
-    SAME partitioning, so no extra exchange; use it when bin ids name
+    contiguously per key via dense_rank; use it when bin ids name
     output shards.
+
+    Without ``bucket_col`` the layout is a single window cumsum — one
+    exchange, but ONE SORT TASK PER KEY VALUE: fine when ``key_col``
+    has high cardinality (per-source layouts), a scale-killer when it
+    is a 2-3-value split column over a 100 TB corpus.
+
+    ``bucket_col`` switches to the two-pass distributed prefix sum —
+    the Win_MapReduce running-sum decomposition (win_mapreduce.hpp:
+    147-184) applied to the layout offset. CONTRACT: ``bucket_col``
+    must be non-decreasing along the layout order within each key
+    (any coarsening of the leading order key qualifies — e.g.
+    ``floordiv(order, span)``, a date of a timestamp order, a prefix
+    of the id), so sorting by (bucket, order) equals sorting by
+    (order). Pass 1 aggregates per-(key, bucket) token totals (one
+    map-combined exchange whose OUTPUT is |keys|·|buckets| rows);
+    their per-key cumulative offsets are a window over that tiny
+    table; pass 2 broadcasts the offsets back and runs the cumsum
+    window per (key, bucket) — the sort parallelism becomes bucket
+    cardinality, never one task per split. Bin contents are IDENTICAL
+    to the single-window layout (parity-tested). ``dense=True``
+    decomposes the same way: per-bucket distinct-bin counts, minus a
+    boundary bin shared with the previous bucket, prefix-summed into
+    per-bucket dense offsets added to the per-bucket dense_rank.
 
     Bin ids use exact integer floor division (windows.py:82-92) — token
     counts are int64 and cumulative sums at corpus scale exceed 2^53,
     where double-division ``F.floor`` goes lossy."""
     if budget <= 0:
         raise ValueError("budget must be positive")
-    parts = [F.col(key_col)] if key_col else [F.lit(0)]
     order = (
         [F.col(order_col).asc(), F.col(id_col).asc()]
         if order_col
         else [F.col(id_col).asc()]
     )
-    w = Window.partitionBy(*parts).orderBy(*order)
     tok = F.col(token_col).cast("long")
-    start = (F.sum(tok).over(w) - tok).alias("_start")
-    out = df.withColumn(bin_col, floordiv(start, int(budget)))
+    if bucket_col is None:
+        parts = [F.col(key_col)] if key_col else [F.lit(0)]
+        w = Window.partitionBy(*parts).orderBy(*order)
+        start = (F.sum(tok).over(w) - tok).alias("_start")
+        out = df.withColumn(bin_col, floordiv(start, int(budget)))
+        if dense:
+            dw = Window.partitionBy(*parts).orderBy(F.col(bin_col).asc())
+            out = out.withColumn(
+                bin_col, (F.dense_rank().over(dw) - F.lit(1)).cast("long")
+            )
+        return out
+
+    # ---- bucketed two-pass layout --------------------------------
+    keys = ([key_col] if key_col else []) + [bucket_col]
+    kparts = [F.col(key_col)] if key_col else [F.lit(0)]
+    owin = Window.partitionBy(*kparts).orderBy(F.col(bucket_col).asc())
+    totals = df.groupBy(*keys).agg(F.sum(tok).alias("_btot"))
+    offsets = totals.withColumn(
+        "_boff", (F.sum("_btot").over(owin) - F.col("_btot")).cast("long")
+    ).drop("_btot")
+    lparts = ([F.col(key_col)] if key_col else []) + [F.col(bucket_col)]
+    lwin = Window.partitionBy(*lparts).orderBy(*order)
+    start = F.col("_boff") + F.sum(tok).over(lwin) - tok
+    out = (
+        df.join(F.broadcast(offsets), on=keys, how="inner")
+        .withColumn(bin_col, floordiv(start, int(budget)))
+        .drop("_boff")
+    )
     if dense:
-        dw = Window.partitionBy(*parts).orderBy(F.col(bin_col).asc())
-        out = out.withColumn(
-            bin_col, (F.dense_rank().over(dw) - F.lit(1)).cast("long")
+        stats = out.groupBy(*keys).agg(
+            F.count_distinct(F.col(bin_col)).alias("_nd"),
+            F.min(bin_col).alias("_minb"),
+            F.max(bin_col).alias("_maxb"),
+        )
+        # a bin spanning the bucket boundary is counted in both
+        # buckets' distincts; it is shared iff this bucket's min bin
+        # equals the previous bucket's max bin (bins are
+        # non-decreasing in layout order)
+        shared = F.when(
+            F.col("_minb") == F.lag("_maxb").over(owin), F.lit(1)
+        ).otherwise(F.lit(0))
+        new_bins = F.col("_nd") - F.col("_shared")
+        dense_offsets = (
+            stats.withColumn("_shared", shared)
+            .withColumn(
+                "_dbase",
+                (F.sum(new_bins).over(owin) - new_bins).cast("long"),
+            )
+            .select(*keys, "_shared", "_dbase")
+        )
+        dwin = Window.partitionBy(*lparts).orderBy(F.col(bin_col).asc())
+        out = (
+            out.join(F.broadcast(dense_offsets), on=keys, how="inner")
+            .withColumn(
+                bin_col,
+                (
+                    F.col("_dbase")
+                    + F.dense_rank().over(dwin)
+                    - F.lit(1)
+                    - F.col("_shared")
+                ).cast("long"),
+            )
+            .drop("_shared", "_dbase")
         )
     return out
