@@ -196,3 +196,197 @@ def test_stream_match_within_bound(spark, tdir):
     ).count()
     assert 0 < len(want) < loose
     assert_frames_equal(got, want, ["conv_id", "start_id"])
+
+
+# ---- skip-till-next-match (mode="skip") ----------------------------
+
+
+def _pandas_reference_skip(pdf, preds, within=None):
+    """Greedy-earliest reference: every step-0 row starts a match; each
+    later step binds to the first following satisfying row."""
+    out = []
+    k = len(preds)
+    for key, g in pdf.groupby("k"):
+        g = g.sort_values("i").reset_index(drop=True)
+        for s in range(len(g)):
+            if not preds[0](g.iloc[s]):
+                continue
+            pos, ok = s, True
+            for j in range(1, k):
+                nxt = next(
+                    (t for t in range(pos + 1, len(g)) if preds[j](g.iloc[t])),
+                    None,
+                )
+                if nxt is None:
+                    ok = False
+                    break
+                pos = nxt
+            if not ok:
+                continue
+            if within is not None and (
+                g["us"].iloc[pos] - g["us"].iloc[s] > within
+            ):
+                continue
+            out.append((key, int(g["i"].iloc[s]), int(g["i"].iloc[pos])))
+    return sorted(out)
+
+
+def test_match_events_skip_hand_fixture(spark):
+    """Greedy-earliest binding, skipping non-matching rows; overlap;
+    within bound; sparse (non-dense) ids allowed in skip mode."""
+    rows = [
+        ("a", 0, "A", 0),
+        ("a", 2, "X", 10),   # skipped; also an id gap (sparse ids OK)
+        ("a", 3, "B", 20),
+        ("a", 5, "A", 40),
+        ("a", 7, "B", 60),
+        ("a", 9, "C", 80),
+        ("b", 0, "A", 0),
+        ("b", 1, "C", 5),    # no B ever -> no match
+    ]
+    df = _df(spark, rows)
+    steps = [F.col("ev") == "A", F.col("ev") == "B", F.col("ev") == "C"]
+    got = sorted(
+        map(
+            tuple,
+            cep.match_events(df, "k", "i", steps, mode="skip")
+            .toPandas()[["k", "start_id", "end_id"]]
+            .to_numpy(),
+        )
+    )
+    # A@0 -> first B after = 3 -> first C after = 9; A@5 -> B@7 -> C@9
+    assert got == [("a", 0, 9), ("a", 5, 9)]
+    # within: span 80 excluded at 50; span 40 (start 5: 40..80) kept
+    got_w = cep.match_events(
+        df, "k", "i", steps, ts_col="us", within=50, mode="skip"
+    ).toPandas()
+    assert set(got_w["start_id"]) == {5}
+    assert list(got_w.columns) == ["k", "start_id", "end_id", "ts_first", "ts_last"]
+
+
+def test_match_events_skip_vs_pandas_reference(spark):
+    rng = np.random.default_rng(23)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], n),
+            "ev": rng.choice(["A", "B", "C", "X"], n),
+            "us": np.arange(n, dtype=np.int64) * 7,
+        }
+    )
+    pdf["i"] = pdf.groupby("k").cumcount()
+    pdf = pdf[rng.random(n) > 0.1].reset_index(drop=True)  # id gaps
+    df = spark.createDataFrame(pdf)
+    steps = [F.col("ev") == "A", F.col("ev") == "B", F.col("ev") == "C"]
+    preds = [
+        lambda r: r["ev"] == "A",
+        lambda r: r["ev"] == "B",
+        lambda r: r["ev"] == "C",
+    ]
+    for within in (None, 400):
+        got = sorted(
+            map(
+                tuple,
+                cep.match_events(
+                    df, "k", "i", steps,
+                    ts_col="us" if within else None,
+                    within=within, mode="skip",
+                )
+                .toPandas()[["k", "start_id", "end_id"]]
+                .to_numpy(),
+            )
+        )
+        want = _pandas_reference_skip(pdf, preds, within=within)
+        assert got == want and len(want) > 0
+
+
+def test_match_events_skip_plan_no_quadratic_join(spark):
+    """The greedy chain is next-pointer EQUI joins — never a per-span
+    theta join or cartesian blowup."""
+    from windflow_spark.plans import audit
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a"] * 8, "i": range(8), "ev": list("ABXCABXC"),
+             "us": range(8)}
+        )
+    )
+    steps = [F.col("ev") == "A", F.col("ev") == "B", F.col("ev") == "C"]
+    out = cep.match_events(docs, "k", "i", steps, ts_col="us", mode="skip")
+    plan = audit.physical_plan(out)
+    assert not audit.has_cartesian(out)
+    assert "NestedLoop" not in plan, plan
+
+
+def test_stream_match_skip_equals_batch(spark, tdir):
+    """Streaming skip-till-next == batch skip mode across micro-batch
+    boundaries (the judge's transcript pattern: user asks -> tool call
+    -> assistant answers, other turns between), exactly-once."""
+    from windflow_spark.operators.windows import epoch_us
+
+    pdf = datagen.gen_transcripts(n_convs=20, seed=29, mean_turns=30)
+    path = str(tdir / "tx_skip")
+    os.makedirs(path, exist_ok=True)
+    for shard in range(6):
+        part = pdf[(pdf["turn_idx"] >= shard * 7) & (pdf["turn_idx"] < (shard + 1) * 7)]
+        if len(part):
+            datagen.write_parquet_us(part, f"{path}/part-{shard}.parquet")
+    left = pdf[pdf["turn_idx"] >= 42]
+    if len(left):
+        datagen.write_parquet_us(left, f"{path}/part-tail.parquet")
+    batch = spark.read.parquet(path)
+    steps = [
+        F.col("role") == "user",
+        F.col("role") == "tool",
+        F.col("role") == "assistant",
+    ]
+    within = 60_000_000  # 60 s
+    want = cep.match_events(
+        batch.withColumn("us", epoch_us("ts")),
+        "conv_id", "turn_idx", steps, ts_col="us", within=within, mode="skip",
+    ).toPandas()
+    # the bound and the skipping must both discriminate on this fixture
+    strictish = cep.match_events(
+        batch.withColumn("us", epoch_us("ts")),
+        "conv_id", "turn_idx", steps, ts_col="us", within=within,
+    ).count()
+    assert len(want) > strictish, (len(want), strictish)
+    schema = spark.read.parquet(path).schema
+    src = se.stream_source(spark, path, schema, max_files_per_trigger=1)
+    out = se.stream_match_events(
+        src.withColumn("us", epoch_us("ts")),
+        "conv_id", "turn_idx", steps, ts_col="us", within=within, mode="skip",
+    )
+    got = se.run_to_memory(out, "t_cep_skip", spark, output_mode="append").toPandas()
+    assert len(got) == len(want) > 0
+    assert not got.duplicated(["conv_id", "start_id"]).any()
+    assert_frames_equal(got, want, ["conv_id", "start_id"])
+
+
+def test_match_skip_validation(spark):
+    df = _df(spark, [("a", 0, "A", 0), ("a", 1, "B", 1)])
+    steps = [F.col("ev") == "A", F.col("ev") == "B"]
+    with pytest.raises(ValueError, match="mode"):
+        cep.match_events(df, "k", "i", steps, mode="kleene")
+    with pytest.raises(ValueError, match="skip"):
+        se.stream_match_events(df, "k", "i", steps, mode="skip")
+
+
+def test_stream_match_long_key_schema(spark, tdir):
+    """ADVICE r6: a non-string key flows through the stateful matcher
+    with a correctly derived output schema."""
+    pdf = pd.DataFrame(
+        {"k": [7, 7, 7, 9, 9], "i": [0, 1, 2, 0, 1],
+         "ev": ["A", "B", "A", "A", "B"],
+         "ts": pd.to_datetime([1, 2, 3, 4, 5], unit="s")}
+    )
+    path = str(tdir / "longkey")
+    os.makedirs(path, exist_ok=True)
+    datagen.write_parquet_us(pdf, f"{path}/part-0.parquet")
+    schema = spark.read.parquet(path).schema
+    src = se.stream_source(spark, path, schema)
+    steps = [F.col("ev") == "A", F.col("ev") == "B"]
+    out = se.stream_match_events(src, "k", "i", steps)
+    got = se.run_to_memory(out, "t_cep_longk", spark, output_mode="append").toPandas()
+    assert got.dtypes["k"].kind == "i", got.dtypes
+    assert sorted(map(tuple, got[["k", "start_id"]].to_numpy())) == [(7, 0), (9, 0)]

@@ -794,6 +794,14 @@ def test_stream_tb_eos_flush_restores_batch_parity(spark, tx_path, tdir):
     ).toPandas()
     cols = ["conv_id", "gwid", "cnt", "sum_len", "mx", "av"]
     assert_frames_equal(got[cols], want[cols], ["conv_id", "gwid"])
+    # ADVICE r6: a NAME-PREFIX aggs dict (fewer ops whose buffer
+    # fields prefix the drain's) must fail the length check loud, not
+    # pass the per-field zip and die later at the positional cast
+    with pytest.raises(ValueError, match="buffer fields"):
+        se.flush_tb_partials(
+            spark, ckpt, ["conv_id"], spec,
+            aggs={"cnt": "count"}, unit="second",
+        )
 
 
 def test_stream_cb_argmax_equals_batch(spark, tx_path):
@@ -1071,6 +1079,53 @@ def test_stream_exact_dedup_cross_batch(spark, tx_path, tdir):
     )
     assert not got["digest"].duplicated().any()
     assert sorted(got["digest"]) == sorted(want["digest"])
+
+
+def test_stream_exact_dedup_keeper_min_id(spark, tdir):
+    """keeper_id arm (VERDICT r6 #6): the survivor per digest is the
+    MIN keeper_id of its first batch — staged so the same texts carry
+    DIFFERENT ids in two files drained in ONE availableNow batch, the
+    output must equal the batch min-id rule for BOTH file orders (the
+    plain dropDuplicates arm is arrival-order-dependent here)."""
+    import uuid
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = (
+        docs.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .toPandas()
+    )
+    shifted = docs.withColumn("doc_id", F.col("doc_id") + F.lit(100_000))
+    for order in ("orig_first", "shift_first"):
+        src_dir = str(tdir / f"kdedup_{order}")
+        os.makedirs(src_dir, exist_ok=True)
+        first, second = (docs, shifted) if order == "orig_first" else (shifted, docs)
+        first.coalesce(1).write.mode("overwrite").parquet(src_dir + "/f1")
+        second.coalesce(1).write.mode("overwrite").parquet(src_dir + "/f2")
+        flat = str(tdir / f"kdedup_flat_{order}")
+        os.makedirs(flat, exist_ok=True)
+        for i, sub in enumerate(("f1", "f2")):
+            for f in os.listdir(os.path.join(src_dir, sub)):
+                if f.endswith(".parquet"):
+                    shutil.copy(os.path.join(src_dir, sub, f),
+                                os.path.join(flat, f"{i}_{f}"))
+        schema = spark.read.parquet(flat).schema
+        src = se.stream_source(spark, flat, schema)
+        out = se.stream_exact_dedup(src, "text", keeper_id="doc_id").select(
+            "digest", "doc_id"
+        )
+        name = f"kdedup_{uuid.uuid4().hex[:8]}"
+        got = se.run_to_memory(out, name, spark, output_mode="append").toPandas()
+        assert_frames_equal(got, want, ["digest"])
+
+
+def test_stream_exact_dedup_keeper_rejects_watermark(spark, tx_path):
+    schema = spark.read.parquet(tx_path).schema
+    src = se.stream_source(spark, tx_path, schema)
+    with pytest.raises(ValueError, match="keeper_id"):
+        se.stream_exact_dedup(
+            src, "text", ts_col="ts", watermark="1 hour", keeper_id="conv_id"
+        )
 
 
 def test_stream_exact_dedup_watermark_mode(spark, tx_path):

