@@ -527,6 +527,20 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_text_contamination(spark, sf_dir):
+    """Benchmark decontamination (r7): docs sharing any normalized
+    13-gram with a probe set (every 20th doc plays the 'benchmark') —
+    the GPT-3/Gopher overlap rule as a broadcast-semi pipeline: probe
+    grams broadcast, per-doc distinct grams built map-side
+    (array_distinct before explode), the only shuffle carries MATCHED
+    grams. Row-level output over the whole corpus."""
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % 20 == 0)
+    return text.ngram_contamination(docs, probes, n=13).select(
+        "doc_id", "n_hits", "contaminated"
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", text.fingerprint("text").alias("fp")
@@ -1295,7 +1309,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks exactly the FIRST 50 entries (r4 record gap — VERDICT r4
     #1), so positions 1-50 hold every query that is new this round or
     was never driver-checked (r7 adds cep_skip, streaming_cep_skip,
-    pack_bucketed_dense, sample_k_weighted, mix_sources; r6 added
+    pack_bucketed_dense, sample_k_weighted, mix_sources,
+    text_contamination — token_counts, driver-green r4-r6, rotates to
+    the tail with ws-token counting still in-window via text_quality's
+    n_tokens; r6 added
     streaming_cb_var, streaming_cb_userfold, cep_pattern,
     streaming_cep, hash_split, stratified_sample, sample_k_per_key,
     pack_sequences, text_repetition, streaming_dedup — all r6 gates
@@ -1361,7 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "text_quality": q_text_quality,
-        "token_counts": q_token_counts,
+        "text_contamination": q_text_contamination,
         "multimodal_frames": q_multimodal_frames,
         # — streaming (19; incl. the r7 gate streaming_cep_skip and
         #   the r6 gates streaming_cb_var, streaming_cb_userfold,
@@ -1390,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      stop at 50; tools/check_entry.py still checks these)
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
+        "token_counts": q_token_counts,
         "session_windows": q_session_windows,
         "win_topk_pane": q_win_topk_pane,
         "multimodal_meta": q_multimodal_meta,
@@ -2226,6 +2244,30 @@ def oracle_sql() -> dict[str, str]:
                             / cast(n_chars AS double), doc_id) AS r
           FROM documents WHERE n_chars > 0)
         WHERE r <= 10
+    """
+    # decontamination: distinct normalized 13-grams per doc vs the
+    # probe set's grams (probe = every 20th doc) — count of matches
+    sql["text_contamination"] = """
+        WITH norm AS (
+          SELECT doc_id,
+                 string_split_regex(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), '\\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 12, 0)),
+                   i -> list_aggregate(t[i:i+12], 'string_agg', ' '))) AS gs
+          FROM norm),
+        probe AS (
+          SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0),
+        docg AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+        hits AS (
+          SELECT doc_id, count(*) AS n_hits
+          FROM docg JOIN probe USING (g) GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
     """
     u_web = _DUCK_U.format(salt="mix:web")
     u_books = _DUCK_U.format(salt="mix:books")

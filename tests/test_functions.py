@@ -477,3 +477,89 @@ def test_repetition_features_plan_is_shuffle_free(docs):
     out = text.repetition_features(docs).select("doc_id", "top_token_frac")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ---- benchmark decontamination (r7) --------------------------------
+
+
+def test_ngram_contamination_hand_fixture(spark):
+    """Known overlaps at n=3: exact, formatting-variant (normalization
+    must catch it), disjoint, and too-short docs."""
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "the quick brown fox jumps",      # exact overlap
+                    "The QUICK, brown fox sleeps",    # normalized overlap
+                    "completely different words here today",
+                    "too short",                      # < n tokens
+                ],
+            }
+        )
+    )
+    probes = spark.createDataFrame(
+        pd.DataFrame({"text": ["a tale of the quick brown fox going home"]})
+    )
+    got = (
+        text.ngram_contamination(corpus, probes, n=3)
+        .select("doc_id", "n_hits", "contaminated")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 1: 'the quick brown' + 'quick brown fox'; doc 2 normalized:
+    # 'the quick brown' + 'quick brown fox'; doc 3/4: none
+    assert got["n_hits"].tolist() == [2, 2, 0, 0]
+    assert got["contaminated"].tolist() == [True, True, False, False]
+
+
+def test_ngram_contamination_vs_duckdb(docs, ddb):
+    """13-gram rule at sf0.001 vs a DuckDB oracle; probes drawn from
+    the corpus itself (every probe doc self-contaminates, near-dup
+    fixtures add cross hits) so the check discriminates."""
+    probes = docs.filter(F.col("doc_id") % 20 == 0)
+    got = (
+        text.ngram_contamination(docs, probes, n=13)
+        .select("doc_id", "n_hits", "contaminated")
+        .toPandas()
+    )
+    want = ddb.execute(
+        """
+        WITH norm AS (
+          SELECT doc_id,
+                 string_split_regex(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), '\\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 12, 0)),
+                   i -> list_aggregate(t[i:i+12], 'string_agg', ' '))) AS gs
+          FROM norm),
+        probe AS (
+          SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0),
+        docg AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+        hits AS (
+          SELECT doc_id, count(*) AS n_hits
+          FROM docg JOIN probe USING (g) GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        """
+    ).df()
+    assert want["contaminated"].sum() > 0
+    assert_frames_equal(got, want, ["doc_id"])
+
+
+def test_ngram_contamination_plan(docs):
+    """Scale shape: probe grams and the hit table are broadcast; the
+    only hash shuffles are the tiny probe distinct and the per-doc hit
+    re-aggregation — never a corpus-sized gram exchange or self-join."""
+    from windflow_spark.plans import audit
+
+    probes = docs.filter(F.col("doc_id") % 20 == 0)
+    out = text.ngram_contamination(docs, probes, n=13)
+    assert audit.has_broadcast_join(out)
+    assert not audit.has_cartesian(out)
+    assert audit.count_exchanges(out) <= 2, audit.physical_plan(out)

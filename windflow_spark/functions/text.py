@@ -222,3 +222,54 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).otherwise(F.lit(0.0)),
         }
     )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    probe_text_col: str | None = None,
+    n: int = 13,
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word n-gram with a probe set (eval benchmarks) — the published
+    13-gram overlap rule (GPT-3 appendix C / Gopher-style
+    decontamination). Distinct from dedup: membership against an
+    EXTERNAL small set, not corpus self-similarity.
+
+    Returns ``df`` plus ``n_hits`` (distinct probe n-grams found in
+    the doc) and ``contaminated`` (n_hits > 0). ``normalize`` applies
+    the fingerprint canonicalization (lowercase, non-alnum runs → one
+    space) to BOTH sides so formatting variants can't hide an overlap.
+
+    100 TB shape: the probe side is tiny (eval suites are MBs) — its
+    distinct n-grams are BROADCAST; the corpus side builds per-doc
+    DISTINCT grams map-side (array_distinct before explode — no
+    (doc, gram) shuffle), inner-joins the broadcast set, and
+    re-aggregates per doc: the only shuffle carries MATCHED grams,
+    proportional to contamination, not corpus size. The hit table
+    (contaminated docs only) is broadcast back onto the corpus."""
+    ptc = probe_text_col or text_col
+    dcol = normalize_text(text_col) if normalize else F.col(text_col)
+    pcol = normalize_text(ptc) if normalize else F.col(ptc)
+    probe_grams = probes.select(
+        F.explode(F.array_distinct(ngram_array(pcol, n))).alias("_g")
+    ).distinct()
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngram_array(dcol, n))).alias("_g"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(probe_grams), "_g", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        df.join(F.broadcast(hits), id_col, "left")
+        .withColumn(
+            "n_hits", F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+        )
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )
