@@ -1085,6 +1085,63 @@ def q_streaming_cep_skip(spark, sf_dir):
     return se.run_to_memory(out, name, spark, output_mode="append")
 
 
+def q_cep_kleene(spark, sf_dir):
+    """CEP Kleene-plus (r7): click → view+ → purchase — ONE OR MORE
+    consecutive views between the click and the purchase, the run
+    GREEDY-MAXIMAL (the purchase binds at the first non-view row after
+    the run; deterministic, output linear in starts — all-sub-runs
+    semantics would be quadratic in run length). Strict contiguity
+    over the dense renumbered ids. Plan: the per-row run boundary
+    (first following non-view) lives in the SAME keyed window as the
+    step flags; binding is the (key, id) equi-join ladder — never a
+    per-span product (plan-tested in tests/test_cep.py)."""
+    ids = cb_ids(
+        _events(spark, sf_dir).withColumn(
+            "user_key", F.col("user_id").cast("string")
+        ),
+        ["user_key"], [F.col("ts"), F.col("event_id")],
+    ).select("user_key", "wf_id", "event_type", epoch_us("ts").alias("us"))
+    return cep_match_events(
+        ids, "user_key", "wf_id", _cep_steps(),
+        ts_col="us", quantifiers="1+1",
+    )
+
+
+def q_streaming_cep_kleene(spark, sf_dir):
+    """The same greedy Kleene pattern through the STREAMING stateful
+    matcher: state = pending partials (start, ts_first, step, in-run)
+    per key — a binding partial dies on the next row unless it
+    matches, an in-run partial lives only while its run extends, so
+    state is O(active partials), never O(stream). The final step is
+    '1', so every match emits exactly once on its end row and fired ==
+    batch == the shared oracle (the final-+ stream-end caveat never
+    applies here)."""
+    import tempfile
+    import uuid
+
+    from windflow_spark.streaming import engine as se
+
+    ids = cb_ids(
+        _events(spark, sf_dir).withColumn(
+            "user_key", F.col("user_id").cast("string")
+        ),
+        ["user_key"], [F.col("ts"), F.col("event_id")],
+    ).select("user_key", "wf_id", "event_type", epoch_us("ts").alias("us"))
+    tmp = tempfile.mkdtemp(prefix="wf_gate_cepkleene_")
+    # one file: arbitrary splits would interleave per-key ids across
+    # micro-batches into the drop rule; ordered cross-batch arrival is
+    # covered by tests/test_cep.py::test_stream_match_kleene_equals_batch
+    ids.coalesce(1).write.mode("overwrite").parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+    src = se.stream_source(spark, tmp, schema)
+    out = se.stream_match_events(
+        src, "user_key", "wf_id", _cep_steps(),
+        ts_col="us", quantifiers="1+1",
+    )
+    name = f"gate_stream_cepkleene_{uuid.uuid4().hex[:8]}"
+    return se.run_to_memory(out, name, spark, output_mode="append")
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Streaming exact dedup (engine.stream_exact_dedup): the documents
     table staged TWICE and drained file-per-trigger, so every digest
@@ -1309,10 +1366,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks exactly the FIRST 50 entries (r4 record gap — VERDICT r4
     #1), so positions 1-50 hold every query that is new this round or
     was never driver-checked (r7 adds cep_skip, streaming_cep_skip,
-    pack_bucketed_dense, sample_k_weighted, mix_sources,
-    text_contamination — token_counts, driver-green r4-r6, rotates to
-    the tail with ws-token counting still in-window via text_quality's
-    n_tokens; r6 added
+    cep_kleene, streaming_cep_kleene, pack_bucketed_dense,
+    sample_k_weighted, mix_sources, text_contamination — token_counts
+    (driver-green r4-r6; ws-token counting stays in-window via
+    text_quality's n_tokens) and win_tb_sliding + win_cb_sliding
+    (driver-green r1-r6; sliding covered in-window by
+    pane_farm_sliding, win_mapreduce_sliding, streaming_sliding,
+    streaming_cb_sliding) rotate to the tail; r6 added
     streaming_cb_var, streaming_cb_userfold, cep_pattern,
     streaming_cep, hash_split, stratified_sample, sample_k_per_key,
     pack_sequences, text_repetition, streaming_dedup — all r6 gates
@@ -1342,12 +1402,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     which covers ALL entries and writes CORRECTNESS_rotated.json for
     the 51+ tail)."""
     return {
-        # — batch windows / operator algebra (9; incl. the new r6
-        #   CEP gate)
-        "win_tb_sliding": q_win_tb_sliding,
-        "win_cb_sliding": q_win_cb_sliding,
+        # — batch windows / operator algebra (8; incl. the r7 CEP
+        #   gates cep_skip + cep_kleene; win_tb_sliding and
+        #   win_cb_sliding, driver-green r1-r6, rotate to the tail —
+        #   sliding semantics stay in-window via pane_farm_sliding,
+        #   win_mapreduce_sliding, streaming_sliding and
+        #   streaming_cb_sliding)
         "cep_pattern": q_cep_pattern,
         "cep_skip": q_cep_skip,
+        "cep_kleene": q_cep_kleene,
         "win_nic_median": q_win_nic_median,
         "pane_farm_sliding": q_pane_farm_sliding,
         "win_mapreduce_sliding": q_win_mapreduce_sliding,
@@ -1402,9 +1465,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cb_userfold": q_streaming_cb_userfold,
         "streaming_cep": q_streaming_cep,
         "streaming_cep_skip": q_streaming_cep_skip,
+        "streaming_cep_kleene": q_streaming_cep_kleene,
         "streaming_dedup": q_streaming_dedup,
         # ---- position 51+: three-round-stable rotation (driver checks
         #      stop at 50; tools/check_entry.py still checks these)
+        "win_tb_sliding": q_win_tb_sliding,
+        "win_cb_sliding": q_win_cb_sliding,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "token_counts": q_token_counts,
@@ -2040,6 +2106,38 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["cep_skip"] = _cep_skip_sql
     sql["streaming_cep_skip"] = _cep_skip_sql
+    # Kleene-plus (click, view+, purchase; greedy-maximal): the view
+    # run's boundary is the first non-view AT-OR-AFTER the next row
+    # (running min over the forward frame, shifted one row) — the
+    # purchase must sit exactly there. Ids are dense per key, so the
+    # engine's contiguity bit is identically true and the oracle can
+    # omit it. BOTH gates share this (final step '1' ⇒ streaming
+    # emits every match exactly once, no stream-end caveat).
+    _cep_kleene_sql = """
+        WITH ids AS (
+          SELECT user_id::VARCHAR AS user_key, event_type, epoch_us(ts) AS us,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS wf_id
+          FROM events),
+        m AS (
+          SELECT user_key, wf_id, us, event_type,
+                 min(CASE WHEN event_type <> 'view' THEN wf_id END) OVER fwd AS nv
+          FROM ids
+          WINDOW fwd AS (PARTITION BY user_key ORDER BY wf_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        n AS (
+          SELECT user_key, wf_id, us, event_type,
+                 lead(nv, 1) OVER w AS stop1
+          FROM m WINDOW w AS (PARTITION BY user_key ORDER BY wf_id))
+        SELECT c.user_key, c.wf_id AS start_id, e.wf_id AS end_id,
+               c.us AS ts_first, e.us AS ts_last
+        FROM n c
+        JOIN n b ON b.user_key = c.user_key AND b.wf_id = c.wf_id + 1
+        JOIN n e ON e.user_key = c.user_key AND e.wf_id = b.stop1
+        WHERE c.event_type = 'click' AND b.event_type = 'view'
+          AND e.event_type = 'purchase'
+    """
+    sql["cep_kleene"] = _cep_kleene_sql
+    sql["streaming_cep_kleene"] = _cep_kleene_sql
     # one digest per distinct text, regardless of how many micro-batches
     # (the gate stages the table twice) — the digest SET is the check
     sql["streaming_dedup"] = """

@@ -77,6 +77,7 @@ HEADLINE = [
     "cep_pattern",  # r6: battery grew to 16 queries
     "text_repetition",  # r6: the zero-shuffle mode-frequency fold at sf
     "cep_skip",  # r7: skip-till-next-match (pointer chain + equi joins)
+    "cep_kleene",  # r7: greedy-maximal Kleene-plus (run boundaries + joins)
     "pack_bucketed_dense",  # r7: two-pass prefix-sum pack layout
 ]
 

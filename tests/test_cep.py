@@ -390,3 +390,254 @@ def test_stream_match_long_key_schema(spark, tdir):
     got = se.run_to_memory(out, "t_cep_longk", spark, output_mode="append").toPandas()
     assert got.dtypes["k"].kind == "i", got.dtypes
     assert sorted(map(tuple, got[["k", "start_id"]].to_numpy())) == [(7, 0), (9, 0)]
+
+
+# ---- Kleene-plus quantifiers (strict mode) --------------------------
+
+
+def _pandas_reference_kleene(pdf, preds, quant, within=None):
+    """Greedy-maximal reference: a + step consumes the maximal
+    contiguous run; the next step binds at the first row failing it.
+    Id gaps break runs/matches exactly like fixed-k strict mode."""
+    out = []
+    k = len(preds)
+    for key, g in pdf.groupby("k"):
+        g = g.sort_values("i").reset_index(drop=True)
+        ids = g["i"].to_numpy()
+        n = len(g)
+        for s in range(n):
+            if not preds[0](g.iloc[s]):
+                continue
+            pos, ok = s, True
+            for j in range(k):
+                if pos >= n or (pos > s and ids[pos] != ids[pos - 1] + 1):
+                    ok = False
+                    break
+                if not preds[j](g.iloc[pos]):
+                    ok = False
+                    break
+                end = pos
+                if quant[j] == "+":
+                    while (
+                        end + 1 < n
+                        and ids[end + 1] == ids[end] + 1
+                        and preds[j](g.iloc[end + 1])
+                    ):
+                        end += 1
+                pos = end + 1
+            if not ok:
+                continue
+            e = pos - 1
+            if within is not None and (
+                g["us"].iloc[e] - g["us"].iloc[s] > within
+            ):
+                continue
+            out.append((key, int(ids[s]), int(ids[e])))
+    return sorted(out)
+
+
+def test_match_events_kleene_hand_fixture(spark):
+    """A B+ C: greedy-maximal runs, missing-B rejection, id-gap run
+    breaks, partition-end final runs, overlapping + step-0 starts."""
+    rows = [
+        # a: A B B B C -> (0, 4); A B C -> (5, 7); A C -> no match
+        ("a", 0, "A", 0), ("a", 1, "B", 10), ("a", 2, "B", 20),
+        ("a", 3, "B", 30), ("a", 4, "C", 40),
+        ("a", 5, "A", 50), ("a", 6, "B", 60), ("a", 7, "C", 70),
+        ("a", 8, "A", 80), ("a", 9, "C", 90),
+        # b: gap inside the B run -> later B can't chain; no C after
+        # the contiguous prefix -> no match
+        ("b", 0, "A", 0), ("b", 1, "B", 1),
+        ("b", 3, "B", 3), ("b", 4, "C", 4),
+    ]
+    df = _df(spark, rows)
+    steps = [F.col("ev") == "A", F.col("ev") == "B", F.col("ev") == "C"]
+    got = sorted(
+        map(
+            tuple,
+            cep.match_events(df, "k", "i", steps, quantifiers="1+1")
+            .toPandas()[["k", "start_id", "end_id"]]
+            .to_numpy(),
+        )
+    )
+    assert got == [("a", 0, 4), ("a", 5, 7)]
+    # final +: A B+ ends at the run end (incl. partition end)
+    got2 = sorted(
+        map(
+            tuple,
+            cep.match_events(
+                df, "k", "i",
+                [F.col("ev") == "A", F.col("ev") == "B"],
+                quantifiers="1+",
+            )
+            .toPandas()[["k", "start_id", "end_id"]]
+            .to_numpy(),
+        )
+    )
+    # a: (0,3) closed by C, (5,6) closed by C; b: (0,1) closed by GAP
+    assert got2 == [("a", 0, 3), ("a", 5, 6), ("b", 0, 1)]
+    # + step 0 overlap: B+ C -> every B opens a match, same greedy end
+    df3 = _df(
+        spark,
+        [("c", 0, "B", 0), ("c", 1, "B", 1), ("c", 2, "B", 2), ("c", 3, "C", 3)],
+    )
+    got3 = sorted(
+        map(
+            tuple,
+            cep.match_events(
+                df3, "k", "i",
+                [F.col("ev") == "B", F.col("ev") == "C"],
+                quantifiers="+1",
+            )
+            .toPandas()[["k", "start_id", "end_id"]]
+            .to_numpy(),
+        )
+    )
+    assert got3 == [("c", 0, 3), ("c", 1, 3), ("c", 2, 3)]
+    # within: greedy span filtered, no backtracking to shorter runs
+    got_w = cep.match_events(
+        df, "k", "i", steps, ts_col="us", within=25, quantifiers="1+1"
+    ).toPandas()
+    assert set(got_w["start_id"]) == {5}  # span 20; start 0 spans 40
+    assert list(got_w.columns) == ["k", "start_id", "end_id", "ts_first", "ts_last"]
+
+
+def test_match_events_kleene_vs_pandas_reference(spark):
+    rng = np.random.default_rng(37)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], n),
+            "ev": rng.choice(["A", "B", "C"], n, p=[0.3, 0.5, 0.2]),
+            "us": np.arange(n, dtype=np.int64) * 5,
+        }
+    )
+    pdf["i"] = pdf.groupby("k").cumcount()
+    pdf = pdf[rng.random(n) > 0.05].reset_index(drop=True)  # id gaps
+    df = spark.createDataFrame(pdf)
+    steps = [F.col("ev") == "A", F.col("ev") == "B", F.col("ev") == "C"]
+    preds = [
+        lambda r: r["ev"] == "A",
+        lambda r: r["ev"] == "B",
+        lambda r: r["ev"] == "C",
+    ]
+    for quant, within in (("1+1", None), ("+1+", None), ("1+1", 60), ("++1", None)):
+        got = sorted(
+            map(
+                tuple,
+                cep.match_events(
+                    df, "k", "i", steps,
+                    ts_col="us" if within else None,
+                    within=within, quantifiers=quant,
+                )
+                .toPandas()[["k", "start_id", "end_id"]]
+                .to_numpy(),
+            )
+        )
+        want = _pandas_reference_kleene(pdf, preds, list(quant), within=within)
+        assert got == want, (quant, within, got[:5], want[:5])
+        assert len(want) > 0, (quant, within)
+
+
+def test_match_events_kleene_plan(spark):
+    """Same plan discipline as skip mode: equi-join ladder, no
+    cartesian/NLJ blowup."""
+    from windflow_spark.plans import audit
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a"] * 8, "i": range(8), "ev": list("ABBCABBC"),
+             "us": range(8)}
+        )
+    )
+    steps = [F.col("ev") == "A", F.col("ev") == "B", F.col("ev") == "C"]
+    out = cep.match_events(docs, "k", "i", steps, ts_col="us", quantifiers="1+1")
+    plan = audit.physical_plan(out)
+    assert not audit.has_cartesian(out)
+    assert "NestedLoop" not in plan, plan
+
+
+def test_match_events_kleene_validation(spark):
+    df = _df(spark, [("a", 0, "A", 0), ("a", 1, "B", 1)])
+    steps = [F.col("ev") == "A", F.col("ev") == "B"]
+    with pytest.raises(ValueError, match="one entry per step"):
+        cep.match_events(df, "k", "i", steps, quantifiers="1+1")
+    with pytest.raises(ValueError, match="quantifier"):
+        cep.match_events(df, "k", "i", steps, quantifiers="1*")
+    with pytest.raises(ValueError, match="strict-mode only"):
+        cep.match_events(df, "k", "i", steps, mode="skip", quantifiers="1+")
+    with pytest.raises(ValueError, match="strict-mode only"):
+        se.stream_match_events(df, "k", "i", steps, mode="skip",
+                               ts_col="us", within=10, quantifiers="1+")
+
+
+def test_stream_match_kleene_equals_batch(spark, tdir):
+    """Streaming Kleene == batch Kleene across micro-batch boundaries:
+    user asks -> one-or-more agent turns (assistant/tool run of any
+    length) -> the next user turn, with runs genuinely spanning files
+    (max_files_per_trigger=1)."""
+    from windflow_spark.operators.windows import epoch_us
+
+    pdf = datagen.gen_transcripts(n_convs=25, seed=41, mean_turns=30)
+    path = str(tdir / "tx_kleene")
+    os.makedirs(path, exist_ok=True)
+    for shard in range(6):
+        part = pdf[(pdf["turn_idx"] >= shard * 7) & (pdf["turn_idx"] < (shard + 1) * 7)]
+        if len(part):
+            datagen.write_parquet_us(part, f"{path}/part-{shard}.parquet")
+    left = pdf[pdf["turn_idx"] >= 42]
+    if len(left):
+        datagen.write_parquet_us(left, f"{path}/part-tail.parquet")
+    batch = spark.read.parquet(path)
+    steps = [
+        F.col("role") == "user",
+        F.col("role").isin("assistant", "tool"),
+        F.col("role") == "user",
+    ]
+    want = cep.match_events(
+        batch.withColumn("us", epoch_us("ts")),
+        "conv_id", "turn_idx", steps, ts_col="us", quantifiers="1+1",
+    ).toPandas()
+    # the + must discriminate vs fixed-k on this fixture
+    fixed = cep.match_events(
+        batch.withColumn("us", epoch_us("ts")),
+        "conv_id", "turn_idx", steps, ts_col="us",
+    ).count()
+    assert len(want) > fixed, (len(want), fixed)
+    schema = spark.read.parquet(path).schema
+    src = se.stream_source(spark, path, schema, max_files_per_trigger=1)
+    out = se.stream_match_events(
+        src.withColumn("us", epoch_us("ts")),
+        "conv_id", "turn_idx", steps, ts_col="us", quantifiers="1+1",
+    )
+    got = se.run_to_memory(out, "t_cep_kleene", spark, output_mode="append").toPandas()
+    assert len(got) == len(want) > 0
+    assert not got.duplicated(["conv_id", "start_id"]).any()
+    assert_frames_equal(got, want, ["conv_id", "start_id"])
+
+
+def test_stream_match_kleene_final_plus_closure(spark, tdir):
+    """Final + runs: emitted when a later row closes them (incl. a
+    run spanning a batch boundary, closed in the NEXT batch); the
+    still-open run at stream end is the documented non-emission."""
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 7,
+            "i": [0, 1, 2, 3, 4, 5, 6],
+            "ev": ["A", "B", "B", "B", "C", "A", "B"],
+            "ts": pd.to_datetime(range(7), unit="s"),
+        }
+    )
+    path = str(tdir / "kleene_tail")
+    os.makedirs(path, exist_ok=True)
+    # shard so the B run 1..3 spans two files and closes in a third
+    datagen.write_parquet_us(pdf.iloc[:2], f"{path}/part-0.parquet")
+    datagen.write_parquet_us(pdf.iloc[2:4], f"{path}/part-1.parquet")
+    datagen.write_parquet_us(pdf.iloc[4:], f"{path}/part-2.parquet")
+    schema = spark.read.parquet(path).schema
+    steps = [F.col("ev") == "A", F.col("ev") == "B"]
+    src = se.stream_source(spark, path, schema, max_files_per_trigger=1)
+    out = se.stream_match_events(src, "k", "i", steps, quantifiers="1+")
+    got = se.run_to_memory(out, "t_cep_kfp", spark, output_mode="append").toPandas()
+    # (0,3) closed by C@4; (5,6) still open at stream end -> not emitted
+    assert sorted(map(tuple, got[["start_id", "end_id"]].to_numpy())) == [(0, 3)]

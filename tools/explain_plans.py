@@ -31,6 +31,7 @@ SHOW = [
     "win_quantile",
     "cep_pattern",
     "cep_skip",
+    "cep_kleene",
     "hash_split",
     "sample_k_per_key",
     "sample_k_weighted",
@@ -38,6 +39,7 @@ SHOW = [
     "pack_bucketed_dense",
     "mix_sources",
     "text_repetition",
+    "text_contamination",
 ]
 
 

@@ -47,6 +47,7 @@ def match_events(
     ts_col: str | None = None,
     within: int | None = None,
     mode: str = "strict",
+    quantifiers: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """All overlapping matches of ``steps`` per key.
 
@@ -70,6 +71,24 @@ def match_events(
     a reverse running min + lead) plus k-2 EQUI joins on (key, id)
     chaining the pointers (+1 join fetching ts_last) — cost
     O(starts) per step, never a posting-list product.
+
+    ``quantifiers``: one of ``'1'`` (exactly one row — the default)
+    or ``'+'`` (one or more contiguous rows, GREEDY-MAXIMAL) per
+    step, as a string like ``"1+1"`` or a sequence. Kleene-plus is
+    strict-mode only (SASE ``SEQ(A, B+, C)`` under contiguity): a
+    ``+`` step consumes the maximal run of rows satisfying its
+    predicate, and the NEXT step binds at the first row where that
+    predicate fails (even if it would also satisfy the next step
+    earlier — greedy is what makes the match deterministic and the
+    output linear in starts, where all-sub-runs semantics is
+    quadratic in run length). A final ``+`` step's run may end at the
+    partition end. ``within`` filters the greedy match's span; it
+    does not backtrack to a shorter sub-run. Emits ``end_id`` of the
+    greedy match; overlapping starts each emit their own match.
+    Plan: the per-+-step run boundary is "first ¬p at-or-after" — a
+    running min over (currentRow, unboundedFollowing) in the SAME
+    keyed window as the flags — then the same (key, id) equi-join
+    chain as skip mode, one join per step after the first.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     k = len(steps)
@@ -79,6 +98,15 @@ def match_events(
         raise ValueError("within requires ts_col")
     if mode not in ("strict", "skip"):
         raise ValueError(f"unknown mode {mode!r}: expected 'strict' or 'skip'")
+    quant = _normalize_quantifiers(quantifiers, k)
+    if "+" in quant:
+        if mode != "strict":
+            raise ValueError(
+                "Kleene-plus quantifiers are strict-mode only: a greedy "
+                "run is defined by contiguity; combine mode='skip' with "
+                "quantifiers='1'*k instead"
+            )
+        return _match_events_kleene(df, keys, id_col, steps, quant, ts_col, within)
     if mode == "skip":
         return _match_events_skip(df, keys, id_col, steps, ts_col, within)
     w = Window.partitionBy(*keys).orderBy(id_col)
@@ -106,6 +134,147 @@ def match_events(
     # window expressions are not allowed in WHERE — project the match
     # flag first (Catalyst still evaluates one Window node)
     return out.withColumn("_match", cond).filter("_match").select(*sel)
+
+
+def _normalize_quantifiers(
+    quantifiers: str | Sequence[str] | None, k: int
+) -> list[str]:
+    """Validate per-step quantifiers; default = all '1' (exactly one)."""
+    if quantifiers is None:
+        return ["1"] * k
+    quant = list(quantifiers)
+    if len(quant) != k:
+        raise ValueError(
+            f"quantifiers must have one entry per step: got {len(quant)} "
+            f"for {k} steps"
+        )
+    bad = [q for q in quant if q not in ("1", "+")]
+    if bad:
+        raise ValueError(f"unknown quantifier(s) {bad!r}: expected '1' or '+'")
+    return quant
+
+
+def _match_events_kleene(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    steps: Sequence[Column],
+    quant: list[str],
+    ts_col: str | None,
+    within: int | None,
+) -> DataFrame:
+    """Strict-contiguity SEQ with greedy-maximal Kleene-plus steps.
+
+    Per row, ``_cont`` = this row's id is the previous row's id + 1
+    (lag over the keyed window) — the contiguity bit; an id gap breaks
+    runs exactly like it unmatches fixed-k patterns. Per + step j the
+    run STOP for a row is the first LATER row where the predicate
+    fails OR contiguity breaks: a running min over (currentRow,
+    unboundedFollowing) of ``struct(id, prev_id)`` on stop rows (the
+    struct compares on id and carries the preceding row's id — the
+    run's true last id, correct across gaps), shifted back one row
+    with lead(). All of it lives in the SAME keyed Window as the
+    flags. A null stop means the run reaches the partition end
+    (end = max id; only a FINAL + step may use it). The binding chain
+    is the same (key, id) equi-join ladder as skip mode: one join per
+    step after the first, each start matching exactly one row per
+    join — O(starts × k), never a per-span product."""
+    k = len(steps)
+    idl = F.col(id_col).cast("long")
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    base = df
+    for j, s in enumerate(steps):
+        base = base.withColumn(
+            f"_s{j}", F.coalesce(s.cast("boolean"), F.lit(False))
+        )
+    base = base.withColumn("_previd", F.lag(idl).over(w)).withColumn(
+        "_cont", F.coalesce(F.col("_previd") == idl - 1, F.lit(False))
+    )
+    for j in range(k):
+        if quant[j] == "+":
+            stop = F.min(
+                F.when(
+                    ~F.col(f"_s{j}") | ~F.col("_cont"),
+                    F.struct(idl.alias("sid"), F.col("_previd").alias("pid")),
+                )
+            ).over(fwd)
+            base = base.withColumn(f"_stop{j}", F.lead(stop, 1).over(w))
+    if quant[-1] == "+":
+        # a final + run may end at the partition end
+        base = base.withColumn(
+            "_maxid", F.max(idl).over(Window.partitionBy(*keys))
+        )
+
+    def _next_b(j: int) -> Column:
+        """Position where step j+1 binds, evaluated on step j's row."""
+        if quant[j] == "1":
+            return idl + 1
+        # stop row id; null ⇒ run hits partition end: no row to bind.
+        # A stop caused by a GAP is killed at the next binding (its
+        # rhs requires _cont).
+        return F.col(f"_stop{j}.sid")
+
+    def _end_id(j: int) -> Column:
+        """end_id of the match, evaluated on the FINAL step's row."""
+        if quant[j] == "1":
+            return idl
+        return F.coalesce(F.col(f"_stop{j}.pid"), F.col("_maxid"))
+
+    sel_ts = [F.col(ts_col).cast("long").alias("ts_first")] if ts_col else []
+    cur = base.filter("_s0").select(
+        *keys,
+        idl.alias("start_id"),
+        *sel_ts,
+        _next_b(0).alias("_b"),
+    )
+
+    def _chain(lhs: DataFrame, rhs: DataFrame, keep: list[Column | str]) -> DataFrame:
+        rhs = rhs.withColumnsRenamed({kk: f"_r_{kk}" for kk in keys})
+        cond = lhs["_b"] == rhs["_rid"]
+        for kk in keys:
+            cond = cond & (lhs[kk] == rhs[f"_r_{kk}"])
+        return lhs.join(rhs, cond, "inner").select(*keep)
+
+    ts_keep = ["ts_first"] if ts_col else []
+    for j in range(1, k - 1):
+        # _cont: binding after a '1' step is contiguous by id
+        # arithmetic; after a '+' step it rejects gap-terminated runs
+        rhs = base.filter(F.col(f"_s{j}") & F.col("_cont")).select(
+            *keys,
+            idl.alias("_rid"),
+            _next_b(j).alias("_bn"),
+        )
+        cur = _chain(
+            cur, rhs,
+            [*keys, "start_id", *ts_keep, F.col("_bn").alias("_b")],
+        ).filter(F.col("_b").isNotNull())
+    # final step: bind and resolve end_id on its row
+    rhs = base.filter(F.col(f"_s{k - 1}") & F.col("_cont")).select(
+        *keys,
+        idl.alias("_rid"),
+        _end_id(k - 1).alias("_eid"),
+    )
+    cur = _chain(
+        cur, rhs,
+        [*keys, "start_id", *ts_keep, F.col("_eid").alias("end_id")],
+    )
+    if ts_col is None:
+        return cur.select(*keys, "start_id", "end_id")
+    # ts_last lives on the end row — one more (key, id) join
+    rhs = base.select(
+        *keys,
+        F.col(id_col).cast("long").alias("_rid"),
+        F.col(ts_col).cast("long").alias("ts_last"),
+    )
+    cur = cur.withColumn("_b", F.col("end_id"))
+    out = _chain(
+        cur, rhs,
+        [*keys, "start_id", "end_id", "ts_first", "ts_last"],
+    )
+    if within is not None:
+        out = out.filter(F.col("ts_last") - F.col("ts_first") <= within)
+    return out.select(*keys, "start_id", "end_id", "ts_first", "ts_last")
 
 
 def _match_events_skip(

@@ -659,6 +659,7 @@ def stream_match_events(
     ts_col: str | None = None,
     within: int | None = None,
     mode: str = "strict",
+    quantifiers: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """CEP strict-contiguity sequence match in streaming — the stateful
     counterpart of ``operators.cep.match_events`` (same contract: per-
@@ -692,6 +693,23 @@ def stream_match_events(
     non-decreasing with ``id_col`` per key (event-time-ordered ids —
     true of the renumbered transcript/CB ids the engine uses), so
     "last seen ts − ts_first > within" proves no future completion.
+
+    ``quantifiers`` ('1' / '+' per step, batch ``match_events``
+    semantics): strict-mode Kleene-plus with GREEDY-MAXIMAL runs.
+    State carries the pending partial matches — (start_id, ts_first,
+    step, in-run flag) each — plus the last seen (id, ts): a partial
+    waiting to BIND a step dies on the very next row unless it
+    matches, and an in-run partial persists only while its run keeps
+    extending, so state is O(active partials per key), bounded by
+    run length, not stream length (a ``within`` bound additionally
+    expires pending partials whose minimal possible span already
+    exceeds it). One stream-end caveat, batch-parity-excepted: a
+    FINAL ``+`` step's run is emitted when a later row CLOSES it
+    (predicate fails or id gap — gap closure is a completed match,
+    exactly like batch); a run still open when the stream ends is
+    never emitted (no partial-match EOS arm, by the same "completed
+    or it didn't" construction as fixed-k), whereas batch emits its
+    partition-end run.
     """
     import numpy as np
 
@@ -707,6 +725,14 @@ def stream_match_events(
             "mode='skip' requires ts_col and within — the span bound is "
             "what keeps pending-match state bounded on an unbounded "
             "stream"
+        )
+    from windflow_spark.operators.cep import _normalize_quantifiers
+
+    quant = _normalize_quantifiers(quantifiers, k)
+    if "+" in quant and mode != "strict":
+        raise ValueError(
+            "Kleene-plus quantifiers are strict-mode only (greedy runs "
+            "are defined by contiguity)"
         )
     proj = df
     for j, s in enumerate(steps):
@@ -726,6 +752,11 @@ def stream_match_events(
     if mode == "skip":
         return _stream_match_skip(
             proj, key, id_col, scols, ts_col, int(within), k,
+            out_cols, out_schema,
+        )
+    if "+" in quant:
+        return _stream_match_kleene(
+            proj, key, id_col, scols, quant, ts_col, within, k,
             out_cols, out_schema,
         )
     state_schema = "ids array<long>, ts array<long>, flags array<array<boolean>>"
@@ -908,6 +939,211 @@ def _stream_match_skip(
                 pend_tsf.tolist(),
                 [int(x) for x in pend_stp.tolist()],
                 last_id,
+            )
+        )
+        if matches:
+            yield pd.DataFrame(matches, columns=out_cols)
+
+    return proj.groupBy(key).applyInPandasWithState(
+        proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def _stream_match_kleene(
+    proj: DataFrame,
+    key: str,
+    id_col: str,
+    scols: list[str],
+    quant: list[str],
+    ts_col: str | None,
+    within: int | None,
+    k: int,
+    out_cols: list[str],
+    out_schema: str,
+) -> DataFrame:
+    """Strict-contiguity Kleene-plus stateful matcher (greedy-maximal
+    runs, batch ``_match_events_kleene`` semantics). State per key =
+    the pending partial matches — (start_id, ts_first, step, in-run) —
+    plus the last seen (id, ts). Advancement is vectorized over
+    partials: per batch, each + step's run STOPS are the row positions
+    where the predicate fails or contiguity breaks; a cohort of
+    partials advances through them with searchsorted exactly like the
+    batch join ladder, in at most k vector rounds. A partial WAITING
+    to bind a step dies on the next row unless it matches; an IN-RUN
+    partial survives batches only while its run spans them, so state
+    is O(active partials). Final-+ runs emit on the row that CLOSES
+    them (¬p or id gap — gap closure is a completed match, as in
+    batch); a run still open at stream end is never emitted (the
+    documented stream-end caveat)."""
+    import numpy as np
+
+    has_ts = ts_col is not None
+    state_schema = (
+        "sid array<long>, tsf array<long>, stp array<int>, "
+        "run array<boolean>, last_id long, last_ts long"
+    )
+
+    def proc(
+        kk: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            s_sid, s_tsf, s_stp, s_run, last_id, last_ts = state.get
+            p_sid = np.asarray(s_sid, dtype=np.int64)
+            p_tsf = np.asarray(s_tsf, dtype=np.int64)
+            p_stp = np.asarray(s_stp, dtype=np.int64)
+            p_run = np.asarray(s_run, dtype=bool)
+        else:
+            p_sid = np.empty(0, dtype=np.int64)
+            p_tsf = np.empty(0, dtype=np.int64)
+            p_stp = np.empty(0, dtype=np.int64)
+            p_run = np.empty(0, dtype=bool)
+            last_id, last_ts = None, None
+        matches = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            fl = np.column_stack([pdf[c].to_numpy(dtype=bool) for c in scols])
+            ts = (
+                pdf[ts_col].to_numpy(dtype=np.int64)
+                if has_ts
+                else np.zeros(len(ids), dtype=np.int64)
+            )
+            order = np.argsort(ids, kind="stable")
+            ids, fl, ts = ids[order], fl[order], ts[order]
+            uniq = np.concatenate([[True], ids[1:] != ids[:-1]])
+            ids, fl, ts = ids[uniq], fl[uniq], ts[uniq]
+            if last_id is not None:
+                keep = ids > last_id
+                ids, fl, ts = ids[keep], fl[keep], ts[keep]
+            if not len(ids):
+                continue
+            n = len(ids)
+            cont = np.empty(n, dtype=bool)
+            cont[0] = last_id is not None and ids[0] == last_id + 1
+            cont[1:] = ids[1:] == ids[:-1] + 1
+            # per + step: sorted row positions where a run STOPS
+            stops = {
+                j: np.nonzero(~fl[:, j] | ~cont)[0]
+                for j in range(k)
+                if quant[j] == "+"
+            }
+
+            # partial vectors: resumed partials first, then fresh
+            # starts (every p0 row opens one). pos = the row where the
+            # partial acts next; resumed W binds at row 0, resumed R
+            # re-enters its run "before" row 0 (pos -1 marks it).
+            starts0 = np.nonzero(fl[:, 0])[0]
+            pos = np.concatenate(
+                [np.where(p_run, -1, 0), starts0]
+            ).astype(np.int64)
+            stp = np.concatenate(
+                [p_stp, np.zeros(len(starts0), dtype=np.int64)]
+            )
+            run = np.concatenate(
+                [p_run, np.zeros(len(starts0), dtype=bool)]
+            )
+            sid = np.concatenate([p_sid, ids[starts0]])
+            tsf = np.concatenate([p_tsf, ts[starts0]])
+            alive = np.ones(len(pos), dtype=bool)
+            pending = np.zeros(len(pos), dtype=bool)
+
+            def _emit(i: int, e: int) -> None:
+                """Record a completion ending at batch row e (e == -1 ⇒
+                the run closed exactly at the batch boundary: end row =
+                previous batch's last row)."""
+                eid = int(ids[e]) if e >= 0 else int(last_id)
+                ets = int(ts[e]) if e >= 0 else int(last_ts)
+                if within is None or ets - int(tsf[i]) <= within:
+                    row = (kk[0], int(sid[i]), eid)
+                    if has_ts:
+                        row += (int(tsf[i]), ets)
+                    matches.append(row)
+
+            def _bind(idx, j):
+                """Vectorized binding of step j for partials (by index
+                array) at their pos: past-end ⇒ pending W(j); else the
+                row must satisfy the predicate and (except a fresh
+                step-0 start) be contiguous. Returns the indices that
+                bound, with their row positions."""
+                p = pos[idx]
+                past = p >= n
+                pending[idx[past]] = True
+                inb = idx[~past]
+                pi = p[~past]
+                okc = fl[pi, j]
+                if j > 0:
+                    okc = okc & cont[pi]
+                alive[inb[~okc]] = False
+                return inb[okc], pi[okc]
+
+            for j in range(k):
+                m = alive & ~pending & (stp == j)
+                if not m.any():
+                    continue
+                if quant[j] == "+":
+                    st = stops[j]
+                    # split BEFORE mutating: handling the resumed
+                    # cohort rewrites run/stp in place, and a rebound
+                    # resumed partial must NOT re-enter this step's
+                    # fresh-binding arm
+                    mri = np.nonzero(m & run)[0]
+                    mbi = np.nonzero(m & ~run)[0]
+                    if len(mri):
+                        stop0 = int(st[0]) if len(st) else -1
+                        if stop0 == -1:
+                            pending[mri] = True  # still in run past batch
+                        elif j == k - 1:
+                            alive[mri] = False
+                            for i in mri.tolist():
+                                _emit(i, stop0 - 1)
+                        else:
+                            pos[mri] = stop0  # bind next step at the stop
+                            stp[mri] = j + 1
+                            run[mri] = False
+                    # fresh bindings at pos = start of a new run
+                    if len(mbi):
+                        bi, bp = _bind(mbi, j)
+                        if len(bi):
+                            nx = np.searchsorted(st, bp, side="right")
+                            has_stop = nx < len(st)
+                            # no stop in batch ⇒ pending R(j)
+                            pending[bi[~has_stop]] = True
+                            run[bi[~has_stop]] = True
+                            wi = bi[has_stop]
+                            sp = st[nx[has_stop]]
+                            if j == k - 1:
+                                alive[wi] = False
+                                for i, e in zip(wi.tolist(), sp.tolist()):
+                                    _emit(i, int(e) - 1)
+                            else:
+                                pos[wi] = sp
+                                stp[wi] = j + 1
+                else:  # quantifier '1'
+                    bi, bp = _bind(np.nonzero(m)[0], j)
+                    if len(bi):
+                        if j == k - 1:
+                            alive[bi] = False
+                            for i, e in zip(bi.tolist(), bp.tolist()):
+                                _emit(i, int(e))
+                        else:
+                            pos[bi] = bp + 1
+                            stp[bi] = j + 1
+            live = alive & pending
+            if within is not None:
+                # minimal possible completion span already too long
+                live &= (int(ts[-1]) - tsf) <= within
+            p_sid, p_tsf = sid[live], tsf[live]
+            p_stp, p_run = stp[live], run[live]
+            last_id, last_ts = int(ids[-1]), int(ts[-1])
+        state.update(
+            (
+                p_sid.tolist(),
+                p_tsf.tolist(),
+                [int(x) for x in p_stp.tolist()],
+                [bool(x) for x in p_run.tolist()],
+                last_id,
+                last_ts,
             )
         )
         if matches:
