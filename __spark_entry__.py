@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from windflow_spark.api import Pipe
-from windflow_spark.functions import dedup, sampling, similarity, text
+from windflow_spark.functions import dedup, retrieval, sampling, similarity, text
 from windflow_spark.functions import multimodal
 from windflow_spark.operators.cep import match_events as cep_match_events
 from windflow_spark.operators.core import accumulate, drop_regressions, flat_map
@@ -541,6 +541,38 @@ def q_text_contamination(spark, sf_dir):
     )
 
 
+def q_bm25_scores(spark, sf_dir):
+    """BM25 lexical retrieval (r7): every document scored against
+    every probe query sharing a term (probes = every 20th doc, the
+    contamination gate's rule — self-hits dominate, common words give
+    breadth). Plan shape: ONE (doc, term) tf aggregate off the
+    tokenize explode; query terms, idf and the (N, avgdl) scalars all
+    BROADCAST, so the only corpus-scale shuffle carries matching
+    (doc, term) rows; pure Catalyst, no Python. The oracle recomputes
+    the Okapi formula with identical Python-evaluated constants; both
+    sides round to 4 dp."""
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return retrieval.bm25_scores(docs, probes, query_id_col="query_id")
+
+
+def q_dedup_components(spark, sf_dir):
+    """Connected components (r7): the exact transitive clustering the
+    greedy keep rule approximates (dedup_keep_list(transitive=True)
+    routes through this). Min-label propagation + pointer jumping —
+    O(log diameter) rounds, two shuffles per round, exact changed==0
+    fixpoint. The gate graph is chains of 10 consecutive doc ids
+    (edges doc_id → doc_id−1 except at block boundaries), long enough
+    to force multiple jumping rounds; the oracle is a DuckDB recursive
+    CTE over the same edges."""
+    edges = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") - 1).alias("id_b")
+    )
+    return dedup.connected_components(edges)
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", text.fingerprint("text").alias("fp")
@@ -588,6 +620,39 @@ def q_streaming_cb(spark, sf_dir):
     return res.select(
         "user_key", "gwid", F.round("sum_value", 4).alias("sum_value"), "cnt", "win_end"
     )
+
+
+def q_streaming_cb_hll(spark, sf_dir):
+    """Streaming approximate COUNT-DISTINCT windows (r7): a 64-register
+    HyperLogLog as a CB fold — the registers ARE the partial slots and
+    the cross-batch merge is elementwise max (the textbook mergeable
+    sketch, flowing through the SAME registry as every other fold, EOS
+    flush included). The hash is the engine-wide portable md5
+    (``hll_prep``, computed in Catalyst before the stateful op — the
+    Python kernel does no per-row hashing), and every estimate
+    ingredient is deterministic and dyadic-exact, so the oracle
+    recomputes the IDENTICAL estimate in SQL — a value match, not an
+    error-bound claim (contrast win_approx_distinct's native-HLL++
+    claim gate, now rotated)."""
+    import tempfile
+    import uuid
+
+    from windflow_spark.streaming import engine as se
+
+    ids = cb_ids(
+        _events(spark, sf_dir), ["event_type"], [F.col("ts"), F.col("event_id")]
+    ).select("event_type", "wf_id", se.hll_prep("user_id").alias("uh"))
+    tmp = tempfile.mkdtemp(prefix="wf_gate_cbhll_")
+    ids.coalesce(1).write.mode("overwrite").parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+    src = se.stream_source(spark, tmp, schema)
+    out = se.stream_cb_windows(
+        src, "event_type", "wf_id", None, WinSpec("cb", 512, 512),
+        aggs={"approx_users": ("hll64", "uh"), "cnt": ("count", None)},
+    )
+    name = f"gate_stream_cbhll_{uuid.uuid4().hex[:8]}"
+    res = se.run_to_memory(out, name, spark, output_mode="append")
+    return res.select("event_type", "gwid", "approx_users", "cnt", "win_end")
 
 
 def _staged_events_stream(spark, sf_dir):
@@ -1366,13 +1431,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checks exactly the FIRST 50 entries (r4 record gap — VERDICT r4
     #1), so positions 1-50 hold every query that is new this round or
     was never driver-checked (r7 adds cep_skip, streaming_cep_skip,
-    cep_kleene, streaming_cep_kleene, pack_bucketed_dense,
-    sample_k_weighted, mix_sources, text_contamination — token_counts
-    (driver-green r4-r6; ws-token counting stays in-window via
-    text_quality's n_tokens) and win_tb_sliding + win_cb_sliding
-    (driver-green r1-r6; sliding covered in-window by
+    cep_kleene, streaming_cep_kleene, streaming_cb_hll,
+    dedup_components, pack_bucketed_dense, sample_k_weighted,
+    mix_sources, text_contamination; rotated to the tail this round,
+    each with its semantics still covered in-window: token_counts
+    (r4-r6 green; ws-token counting via text_quality's n_tokens),
+    win_tb_sliding + win_cb_sliding (r1-r6; sliding via
     pane_farm_sliding, win_mapreduce_sliding, streaming_sliding,
-    streaming_cb_sliding) rotate to the tail; r6 added
+    streaming_cb_sliding), win_approx_distinct (r1-r6; approx distinct
+    via streaming_cb_hll's recomputed-estimate gate), ngram_jaccard
+    (r4-r6; the candidates-restricted verify via dedup_pipeline and
+    dedup_components' pair input in tests), text_quality (r1-r6;
+    text-signal family via text_repetition, text_contamination and
+    bm25_scores — and the curation job still composes it); r6 added
     streaming_cb_var, streaming_cb_userfold, cep_pattern,
     streaming_cep, hash_split, stratified_sample, sample_k_per_key,
     pack_sequences, text_repetition, streaming_dedup — all r6 gates
@@ -1419,7 +1490,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "ysb_pipeline": q_ysb_pipeline,
         "win_quantile": q_win_quantile,
-        "win_approx_distinct": q_win_approx_distinct,
         # — sampling / splitting / packing / quality (8; r6 + the r7
         #   additions pack_bucketed_dense, sample_k_weighted,
         #   mix_sources)
@@ -1435,12 +1505,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_pipeline": q_dedup_pipeline,
-        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "embedding_topk": q_embedding_topk,
         "embedding_dedup": q_embedding_dedup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "text_quality": q_text_quality,
+        "bm25_scores": q_bm25_scores,
         "text_contamination": q_text_contamination,
         "multimodal_frames": q_multimodal_frames,
         # — streaming (19; incl. the r7 gate streaming_cep_skip and
@@ -1466,11 +1536,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cep": q_streaming_cep,
         "streaming_cep_skip": q_streaming_cep_skip,
         "streaming_cep_kleene": q_streaming_cep_kleene,
+        "streaming_cb_hll": q_streaming_cb_hll,
         "streaming_dedup": q_streaming_dedup,
         # ---- position 51+: three-round-stable rotation (driver checks
         #      stop at 50; tools/check_entry.py still checks these)
         "win_tb_sliding": q_win_tb_sliding,
         "win_cb_sliding": q_win_cb_sliding,
+        "win_approx_distinct": q_win_approx_distinct,
+        "ngram_jaccard": q_ngram_jaccard,
+        "text_quality": q_text_quality,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "token_counts": q_token_counts,
@@ -1966,6 +2040,50 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY i.user_key, wf_id // 10)
         SELECT user_key, gwid, sum_value, cnt, win_end FROM agg WHERE win_end <= m
     """
+    # streaming HLL: the oracle REBUILDS the 64-register sketch from the
+    # raw rows — same portable md5 (first 6 hex chars = 24-bit value,
+    # high 8 bits mod 64 = bucket, low 16 = rank field, register =
+    # 17 − bit_length), same shared alpha·m² literal, same ≤2.5m linear
+    # correction. 2^−r terms are exact dyadics so the register sum is
+    # order-independent and the round(·,4) estimates match EXACTLY.
+    from windflow_spark.streaming.engine import _HLL_ALPHA_M2 as _AHM2
+
+    sql["streaming_cb_hll"] = f"""
+        WITH ids AS (
+          SELECT event_type, user_id,
+                 row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS wf_id
+          FROM events),
+        mx AS (SELECT event_type, max(wf_id) AS m FROM ids GROUP BY 1),
+        h AS (
+          SELECT event_type, wf_id // 512 AS gwid,
+                 ('0x' || substr(md5(cast(user_id AS varchar)), 1, 6))::UBIGINT::BIGINT AS hv
+          FROM ids),
+        r AS (
+          SELECT event_type, gwid, (hv // 65536) % 64 AS b,
+                 CASE WHEN hv % 65536 = 0 THEN 17.0
+                      ELSE 16.0 - floor(log2((hv % 65536)::DOUBLE)) END AS rk
+          FROM h),
+        regs AS (SELECT event_type, gwid, b, max(rk) AS mreg FROM r GROUP BY 1, 2, 3),
+        agg AS (
+          SELECT event_type, gwid,
+                 sum(power(2.0, -mreg)) + (64 - count(*)) AS s,
+                 64 - count(*) AS v
+          FROM regs GROUP BY 1, 2),
+        est AS (
+          SELECT event_type, gwid,
+                 CASE WHEN {_AHM2!r} / s <= 160.0 AND v > 0
+                      THEN round(64.0 * ln(64.0 / v), 4)
+                      ELSE round({_AHM2!r} / s, 4) END AS approx_users
+          FROM agg),
+        cnt AS (
+          SELECT i.event_type, wf_id // 512 AS gwid, count(*) AS cnt,
+                 (wf_id // 512) * 512 + 511 AS win_end, max(mx.m) AS m
+          FROM ids i JOIN mx ON i.event_type = mx.event_type
+          GROUP BY i.event_type, wf_id // 512)
+        SELECT c.event_type, c.gwid, e.approx_users, c.cnt, c.win_end
+        FROM cnt c JOIN est e ON e.event_type = c.event_type AND e.gwid = c.gwid
+        WHERE c.win_end <= c.m
+    """
     sql["streaming_sliding"] = f"""
         WITH wids AS (
           SELECT event_type, value,
@@ -2345,6 +2463,55 @@ def oracle_sql() -> dict[str, str]:
     """
     # decontamination: distinct normalized 13-grams per doc vs the
     # probe set's grams (probe = every 20th doc) — count of matches
+    # BM25: the Okapi formula re-evaluated from raw counts — all
+    # constants are PYTHON-evaluated literals shared with the engine's
+    # expression tree (k1+1, 1−b pre-folded) so the float expressions
+    # agree bit-for-bit before the shared round(·, 4); dl counts the
+    # raw whitespace split of the normalized text on both sides
+    _k1, _b = 1.2, 0.75
+    sql["bm25_scores"] = f"""
+        WITH norm AS (
+          SELECT doc_id,
+                 string_split_regex(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), '\\s+') AS t
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(t) AS term FROM norm),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+               FROM tok WHERE term <> '' GROUP BY 1, 2),
+        dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM norm),
+        st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                      (SELECT avg(dl) FROM dl) AS avgdl),
+        dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        idf AS (SELECT term, ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) AS idf
+                FROM dfq, st),
+        q AS (SELECT DISTINCT doc_id AS query_id, unnest(list_distinct(t)) AS term
+              FROM norm WHERE doc_id % 20 = 0)
+        SELECT q.query_id, tf.doc_id,
+               round(sum(idf.idf * ((tf.tf * {_k1 + 1.0!r})
+                     / (tf.tf + {_k1!r} * ({1.0 - _b!r}
+                        + ({_b!r} * dl.dl) / st.avgdl)))), 4) AS score
+        FROM q
+        JOIN tf USING (term)
+        JOIN idf USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id, st
+        WHERE q.term <> ''
+        GROUP BY 1, 2
+    """
+    # connected components over the chain graph: recursive-CTE
+    # transitive closure, component = min reachable id (robust to any
+    # doc_id distribution — no closed form assumed)
+    sql["dedup_components"] = """
+        WITH RECURSIVE base AS (
+          SELECT doc_id AS u, doc_id - 1 AS v FROM documents
+          WHERE doc_id % 10 <> 0),
+        e AS (SELECT u, v FROM base UNION SELECT v, u FROM base),
+        n AS (SELECT DISTINCT u AS id FROM e),
+        reach(src, dst) AS (
+          SELECT id, id FROM n
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.dst)
+        SELECT src AS id, min(dst) AS component FROM reach GROUP BY 1
+    """
     sql["text_contamination"] = """
         WITH norm AS (
           SELECT doc_id,

@@ -563,3 +563,225 @@ def test_ngram_contamination_plan(docs):
     assert audit.has_broadcast_join(out)
     assert not audit.has_cartesian(out)
     assert audit.count_exchanges(out) <= 2, audit.physical_plan(out)
+
+
+# ---- connected components / transitive dedup (r7) -------------------
+
+
+def test_connected_components_chains_stars_isolated(spark):
+    """Exact fixpoint on a graph with long chains (forces multiple
+    pointer-jumping rounds), a star, a two-clique bridge, duplicate and
+    self edges; component = min node id."""
+    edges = []
+    edges += [(i, i + 1) for i in range(100, 140)]      # chain of 41
+    edges += [(200, v) for v in range(201, 208)]        # star
+    edges += [(300, 301), (301, 302), (300, 302)]       # triangle
+    edges += [(302, 303)]                               # bridge
+    edges += [(100, 101), (5, 5)]                       # dup + self edge
+    pdf = pd.DataFrame(edges, columns=["id_a", "id_b"])
+    got = (
+        dedup.connected_components(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = {i: 100 for i in range(100, 141)}
+    want.update({i: 200 for i in range(200, 208)})
+    want.update({i: 300 for i in range(300, 304)})
+    want[5] = 5
+    assert dict(zip(got["id"], got["component"])) == want
+
+
+def test_connected_components_vs_duckdb_recursive(spark, docs, ddb):
+    """Components over the REAL verified near-dup pairs at sf0.001 ==
+    a DuckDB recursive-CTE transitive closure over the same pairs."""
+    from windflow_spark.functions.dedup import (
+        lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, "doc_id", k=16)
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+    pairs = ngram_jaccard_pairs(sh, "doc_id", threshold=0.5, candidates=cands)
+    ppdf = pairs.select("id_a", "id_b").toPandas()
+    assert len(ppdf) > 0
+    got = (
+        dedup.connected_components(pairs)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    ddb.execute("CREATE OR REPLACE TABLE _cc_pairs AS SELECT * FROM ppdf")
+    want = ddb.execute(
+        """
+        WITH RECURSIVE e AS (
+          SELECT id_a AS u, id_b AS v FROM _cc_pairs
+          UNION SELECT id_b, id_a FROM _cc_pairs),
+        n AS (SELECT DISTINCT u FROM e),
+        reach(src, dst) AS (
+          SELECT u, u FROM n
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.dst)
+        SELECT src AS id, min(dst) AS component FROM reach GROUP BY 1
+        ORDER BY 1
+        """
+    ).df()
+    assert got["id"].tolist() == want["id"].tolist()
+    assert got["component"].tolist() == want["component"].tolist()
+
+
+def test_dedup_keep_list_transitive_wiring(spark):
+    """transitive=True routes the verified pairs through
+    connected_components and keeps exactly the component min; on a
+    clique the greedy and transitive rules agree (the chain-divergence
+    case is exercised by the dedup_components gate's closed-form chain
+    fixture and test_connected_components_chains_stars_isolated)."""
+    texts = {
+        # near-identical trio: ids 1 < 2 < 3, engineered so the LSH
+        # candidates include all pairs; jaccard(1,3) and jaccard(2,3)
+        # pass 0.6 but the keep rules differ on who survives
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "alpha beta gamma delta epsilon zeta eta iota",
+        3: "alpha beta gamma delta epsilon zeta eta theta",
+        9: "completely unrelated text about something else entirely",
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(texts), "text": list(texts.values())}
+        )
+    )
+    greedy = dedup.dedup_keep_list(
+        docs, "doc_id", "text", threshold=0.6, n=3, persist=False
+    ).toPandas().set_index("doc_id")["keep"]
+    trans = dedup.dedup_keep_list(
+        docs, "doc_id", "text", threshold=0.6, n=3, persist=False,
+        transitive=True,
+    ).toPandas().set_index("doc_id")["keep"]
+    # both keep the min and the unrelated doc; both drop everything
+    # transitively tied to 1 here (clique case agrees)
+    assert trans[1] and trans[9] and not trans[2] and not trans[3]
+    assert greedy[1] and greedy[9] and not greedy[2] and not greedy[3]
+
+
+# ---- TF-IDF / BM25 retrieval (r7) -----------------------------------
+
+
+def test_tfidf_vectors_vs_duckdb(spark, docs, ddb):
+    from windflow_spark.functions import retrieval
+
+    got = retrieval.tfidf_vectors(docs, min_df=2).toPandas()
+    want = ddb.execute(
+        """
+        WITH norm AS (
+          SELECT doc_id,
+                 string_split_regex(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), '\\s+') AS t
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(t) AS term FROM norm),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+               FROM tok WHERE term <> '' GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                GROUP BY 1 HAVING count(*) >= 2),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+        SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+               round(tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0), 4)
+                   AS tfidf
+        FROM tf JOIN dfq USING (term), n
+        """
+    ).df()
+    assert len(want) > 0
+    assert_frames_equal(got, want, ["doc_id", "term"])
+
+
+def test_bm25_hand_fixture(spark):
+    """Tiny corpus with a pure-Python Okapi replica: self-match tops,
+    no shared term -> no row, longer docs penalized via dl/avgdl."""
+    import math
+
+    from windflow_spark.functions import retrieval
+
+    corpus = {
+        1: "apple banana cherry",
+        2: "apple apple banana date elderberry fig grape",
+        3: "unrelated words entirely different here",
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(corpus), "text": list(corpus.values())})
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": [10], "text": ["apple banana"]})
+    )
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in retrieval.bm25_scores(docs, queries).collect()
+    }
+    # replica
+    toks = {d: t.split() for d, t in corpus.items()}
+    N = 3.0
+    avgdl = sum(len(t) for t in toks.values()) / 3.0
+    k1, b = 1.2, 0.75
+
+    def score(q_terms, d):
+        s = 0.0
+        for t in set(q_terms):
+            tf = toks[d].count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for dd in toks.values() if t in dd)
+            idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+            s += idf * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + (b * len(toks[d])) / avgdl)))
+        return round(s, 4)
+
+    want = {
+        (10, d): score(["apple", "banana"], d)
+        for d in (1, 2)  # doc 3 shares no term: NO row
+    }
+    assert got == want
+    assert got[(10, 1)] > got[(10, 2)]  # shorter doc with both terms wins
+
+
+def test_bm25_vs_duckdb_and_plan(spark, docs, ddb):
+    from windflow_spark.functions import retrieval
+    from windflow_spark.plans import audit
+
+    probes = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    out = retrieval.bm25_scores(docs, probes, query_id_col="query_id")
+    got = out.toPandas()
+    want = ddb.execute(
+        """
+        WITH norm AS (
+          SELECT doc_id,
+                 string_split_regex(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), '\\s+') AS t
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(t) AS term FROM norm),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+               FROM tok WHERE term <> '' GROUP BY 1, 2),
+        dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM norm),
+        st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                      (SELECT avg(dl) FROM dl) AS avgdl),
+        dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        idf AS (SELECT term, ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) AS idf
+                FROM dfq, st),
+        q AS (SELECT DISTINCT doc_id AS query_id, unnest(list_distinct(t)) AS term
+              FROM norm WHERE doc_id % 20 = 0)
+        SELECT q.query_id, tf.doc_id,
+               round(sum(idf.idf * ((tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / st.avgdl)))), 4)
+                   AS score
+        FROM q JOIN tf USING (term) JOIN idf USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id, st
+        WHERE q.term <> ''
+        GROUP BY 1, 2
+        """
+    ).df()
+    assert len(want) > 0
+    assert_frames_equal(got, want, ["query_id", "doc_id"])
+    # scale shape: query terms/idf/scalars broadcast; no cartesian
+    # product over corpus-scale inputs (the 1-row scalar crossJoins
+    # compile to broadcast loops, which is the point)
+    assert audit.has_broadcast_join(out)
+    assert not audit.has_cartesian(out)

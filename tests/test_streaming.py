@@ -1155,3 +1155,92 @@ def test_stream_exact_dedup_requires_ts_for_watermark(spark, tx_path):
     src = se.stream_source(spark, tx_path, schema)
     with pytest.raises(ValueError, match="ts_col"):
         se.stream_exact_dedup(src, "text", watermark="1 hour")
+
+
+# ---- hll64: mergeable approx count-distinct fold (r7) ---------------
+
+
+def _hll_prep_py(v):
+    """Independent (hashlib) replica of hll_prep: first 6 hex chars of
+    md5(str(v)) as a 24-bit int — cross-checks the Catalyst conv path."""
+    import hashlib
+
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:6], 16)
+
+
+def test_hll_fold_mergeable_dup_insensitive_accurate():
+    """Pure-kernel properties: merging split partials reproduces the
+    whole-sample registers EXACTLY (mergeable sketch); duplicates never
+    change registers; the estimate tracks the true cardinality within
+    the p=6 error envelope (deterministic md5 — these are fixed
+    numbers, not statistical luck)."""
+    import numpy as np
+
+    def regs(vals):
+        frame = pd.DataFrame(
+            {"_w": np.zeros(len(vals), dtype=np.int64),
+             "_id": np.arange(len(vals)), "v": np.asarray(vals, dtype=np.float64)}
+        )
+        g = frame.groupby("_w", sort=True)
+        return [float(s.loc[0]) for s in se._hll_batch(g, "v")]
+
+    for n in (40, 300, 3000, 30000):
+        vals = [_hll_prep_py(i * 7919 + 13) for i in range(n)]
+        whole = regs(vals)
+        merged = se._hll_merge(regs(vals[: n // 2]), regs(vals[n // 2:]))
+        assert merged == whole
+        assert regs(vals + vals[: n // 3]) == whole  # dup-insensitive
+        est = se._hll_final(whole)
+        # p=6 std error ≈ 13%; the estimator is unbiased (simulated
+        # bias −0.2% ± 14.7% over random draws) but THIS deterministic
+        # md5 draw sits at +30% for n=3000 — a ~2σ point, hence 0.35
+        assert abs(est - n) / n < 0.35, (n, est)
+
+
+def test_stream_cb_hll_matches_replay_and_exact(spark, tx_path, tdir):
+    """Streaming hll64 windows == a pandas replay of the same
+    deterministic sketch per window (independent hashlib prep +
+    register construction), and the estimates sit within the p=6
+    envelope of the window-exact distinct counts. Exercises the
+    64-slot state layout end-to-end including the Catalyst EOS flush
+    finalizer (fired ∪ flushed == every window)."""
+    import numpy as np
+
+    schema = _schema(spark, tx_path)
+    spec = WinSpec("cb", 12, 12)
+    src = se.stream_source(spark, tx_path, schema, max_files_per_trigger=1)
+    stream = se.stream_cb_windows(
+        src.withColumn("lh", se.hll_prep(F.length("text").cast("long"))),
+        "conv_id", "turn_idx", None, spec,
+        aggs={"du": ("hll64", "lh"), "c": ("count", None)},
+    )
+    sink, ckpt = str(tdir / "hll_sink"), str(tdir / "hll_ckpt")
+    se.run_available_now(stream, sink, ckpt, timeout_sec=300)
+    fired = spark.read.parquet(sink)
+    flushed = se.flush_cb_partials(
+        spark, ckpt, "conv_id", spec,
+        aggs={"du": ("hll64", "lh"), "c": ("count", None)},
+    )
+    got = fired.unionByName(flushed).toPandas()
+    assert (flushed.count() > 0) and len(got) > 0
+    # replay: same windows, independent hash/registers, same finalize
+    pdf = spark.read.parquet(tx_path).toPandas()
+    pdf["lh"] = pdf["text"].str.len().map(_hll_prep_py)
+    want = {}
+    exact = {}
+    for (k, w), g in pdf.assign(_w=pdf["turn_idx"] // 12).groupby(
+        ["conv_id", "_w"]
+    ):
+        r = np.zeros(64)
+        for v in g["lh"]:
+            b, x = (v >> 16) & 63, v & 0xFFFF
+            rk = 17 - int(x).bit_length()
+            r[b] = max(r[b], rk)
+        want[(k, int(w))] = se._hll_final(list(r))
+        exact[(k, int(w))] = g["text"].str.len().nunique()
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        key = (row["conv_id"], int(row["gwid"]))
+        assert row["du"] == want[key], (key, row["du"], want[key])
+        ex = exact[key]
+        assert abs(row["du"] - ex) <= max(3.0, 0.35 * ex), (key, row["du"], ex)

@@ -101,10 +101,13 @@ def verify_tws(spark) -> str:
         "am": ("argmax", "v"),
         "vr": ("var", "v"), "sd": ("std", "v"),  # 3-slot triple (r6)
         "rg": ("vrange", "v"),  # user fold (register_cb_op, r6)
+        "du": ("hll64", "vh"),  # 64-slot mergeable sketch (r7)
     }
 
     def run(fn, name):
-        src = se.stream_source(spark, src_dir, schema)
+        src = se.stream_source(spark, src_dir, schema).withColumn(
+            "vh", se.hll_prep(F.col("v").cast("long"))
+        )
         out = fn(src, "k", "i", None, spec, aggs=aggs)
         return (
             se.run_to_memory(out, name, spark, output_mode="append")

@@ -40,6 +40,8 @@ SHOW = [
     "mix_sources",
     "text_repetition",
     "text_contamination",
+    "bm25_scores",
+    "dedup_components",
 ]
 
 

@@ -299,6 +299,93 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list: returns
+    ``(id, component)`` for every node appearing in ``edges``, where
+    ``component`` is the MINIMUM node id in the component — the exact
+    clustering the greedy ``dedup_keep_list`` rule approximates (its
+    docstring's "exact clustering needs iterative components"; chains
+    a→b→c where a,c never share an LSH bucket collapse correctly here).
+
+    Algorithm: min-label propagation with POINTER JUMPING — each round
+    (1) lowers every node's label to the min over its neighbors'
+    labels, then (2) replaces each label by its label's label (path
+    halving), so convergence is O(log diameter) rounds, not
+    O(diameter). Labels are monotone non-increasing; the loop stops at
+    the exact fixpoint (changed == 0 — an honest count, not a
+    checksum). Each round is two shuffles (a neighbor-min aggregate +
+    the jump join); lineage is truncated per round with
+    localCheckpoint so the plan doesn't grow exponentially. Skew note:
+    the jump join keys by current label, which concentrates on big
+    components' roots — AQE skew-split handles it (the join is 2-col
+    lhs × 2-col rhs, salting-free by design).
+    """
+    sym = edges.select(
+        F.col(id_a).alias("_u"), F.col(id_b).alias("_v")
+    ).union(
+        edges.select(F.col(id_b).alias("_u"), F.col(id_a).alias("_v"))
+    )
+    labels = (
+        sym.select(F.col("_u").alias("_id"))
+        .distinct()
+        .withColumn("_c", F.col("_id"))
+        .localCheckpoint()
+    )
+    sym = sym.localCheckpoint()
+    for _ in range(max_iters):
+        # (1) min over neighbors' labels (map-side combined)
+        nb = (
+            sym.join(labels.withColumnRenamed("_id", "_v"), "_v")
+            .groupBy("_u")
+            .agg(F.min("_c").alias("_nc"))
+        )
+        prop = (
+            labels.join(nb.withColumnRenamed("_u", "_id"), "_id", "left")
+            .select(
+                "_id",
+                F.least(F.col("_c"), F.coalesce("_nc", "_c")).alias("_c"),
+            )
+        )
+        # (2) pointer jumping: label ← label's label
+        jump = (
+            prop.alias("a")
+            .join(
+                prop.select(
+                    F.col("_id").alias("_jc"), F.col("_c").alias("_cc")
+                ).alias("b"),
+                F.col("a._c") == F.col("b._jc"),
+                "left",
+            )
+            .select(
+                F.col("a._id").alias("_id"),
+                F.least(F.col("a._c"), F.coalesce("_cc", F.col("a._c"))).alias("_c"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jump.alias("n")
+            .join(labels.alias("o"), F.col("n._id") == F.col("o._id"))
+            .filter(F.col("n._c") != F.col("o._c"))
+            .limit(1)
+            .count()
+        )
+        labels = jump
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    return labels.select(
+        F.col("_id").alias("id"), F.col("_c").alias("component")
+    )
+
+
 def dedup_keep_list(
     docs: DataFrame,
     id_col: str,
@@ -310,13 +397,21 @@ def dedup_keep_list(
     rows_per_band: int = 4,
     max_df: int | None = None,
     persist: bool = True,
+    transitive: bool = False,
 ) -> DataFrame:
     """End-to-end near-dup dedup pipeline: the composition a real
     training-data pipeline runs — shingle → MinHash signatures → LSH
     band candidates → exact Jaccard verification restricted to the
-    candidates → greedy keep rule (a doc is DROPPED iff it pairs at
-    ``jaccard ≥ threshold`` with any lower-id doc; first occurrence
-    wins). Returns (id, keep boolean) for every input doc.
+    candidates → keep rule. Returns (id, keep boolean) for every input
+    doc.
+
+    ``transitive=False`` (default): the greedy rule — a doc is DROPPED
+    iff it pairs at ``jaccard ≥ threshold`` with any lower-id doc
+    (first occurrence wins). On a chain a<c<b with edges (a,b), (c,b)
+    this keeps BOTH a and c. ``transitive=True``: exact clustering —
+    ``connected_components`` over the verified pairs, keep only each
+    component's min id (one survivor per transitive duplicate class,
+    the semantics most corpus-dedup recipes mean).
 
     Scale shape: every stage is the bounded-shuffle primitive it
     composes — no all-pairs join anywhere; the verification stage
@@ -343,6 +438,17 @@ def dedup_keep_list(
     pairs = ngram_jaccard_pairs(
         sh, id_col, threshold=threshold, candidates=cands, max_df=max_df
     )
+    if transitive:
+        comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+            "id", id_col
+        )
+        return docs.select(id_col).join(comp, id_col, "left").select(
+            id_col,
+            (
+                F.col("component").isNull()
+                | (F.col("component") == F.col(id_col))
+            ).alias("keep"),
+        )
     # one LEFT join, not anti-join + union of the dropped side — the
     # union form would evaluate the whole candidate pipeline twice
     dropped = (

@@ -314,6 +314,86 @@ def _var_cat(p, i):
     return F.greatest(F.lit(0.0), p[i + 1] / p[i + 2] - m * m)
 
 
+# ---- hll64: mergeable approximate count-distinct --------------------
+#
+# A 64-register (p=6) HyperLogLog as a CB fold: registers ARE the
+# partial slots, so the sketch merges across batches/splits with
+# elementwise max — the textbook mergeable-sketch property, and the
+# proof the fold registry accommodates non-arithmetic partials. The
+# hash is the engine-wide PORTABLE md5 (never Spark hash()): the input
+# column must be pre-mapped with ``hll_prep`` (Catalyst md5 → first 6
+# hex chars as a 24-bit int, computed JVM-side so the Python kernel
+# does no per-row hashing): high 8 bits mod 64 = bucket, low 16 bits =
+# rank field, register = max(17 − bit_length(field)). Every estimate
+# ingredient is deterministic and DuckDB-expressible — 2^−r terms are
+# exact dyadics (sums are order-independent), the alpha·m² constant is
+# ONE shared literal, the ≤ 2.5m small-range correction uses
+# V = 64 − occupied buckets — so gate oracles recompute the IDENTICAL
+# estimate (to the shared round(·, 4)) rather than asserting a bound.
+_HLL_M = 64
+_HLL_ALPHA_M2 = 2905.460551022604  # 0.7213 / (1 + 1.079/64) * 64**2
+_HLL_LINEAR_MAX = 160.0  # 2.5 * m
+
+
+def hll_prep(col) -> "F.Column":
+    """Catalyst pre-hash for the ``hll64`` fold: first 6 hex chars of
+    md5(value as string) as a 24-bit integer. Apply BEFORE the
+    stateful operator; the value must render identically to the
+    oracle's ``cast(x AS varchar)`` (integers/strings do; avoid raw
+    floats)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 6), 16, 10).cast("long")
+
+
+def _hll_batch(g, c):
+    import numpy as np
+
+    df = g.obj
+    v = df[c].to_numpy(dtype=np.float64).astype(np.int64)  # ≤ 2^24: exact
+    b = (v >> 16) & 63
+    x = (v & 0xFFFF).astype(np.float64)
+    # bit_length via frexp's exponent (exact for ints < 2^24); x == 0
+    # keeps exponent 0 → register 17, the all-zero-tail convention
+    rank = (17 - np.frexp(x)[1]).astype(np.float64)
+    t = pd.DataFrame({"_w": df["_w"].to_numpy(), "_b": b, "_r": rank})
+    mx = (
+        t.groupby(["_w", "_b"], sort=True)["_r"]
+        .max()
+        .unstack("_b", fill_value=0.0)
+        .reindex(columns=range(_HLL_M), fill_value=0.0)
+        .reindex(index=g.size().index, fill_value=0.0)
+    )
+    return [mx[j] for j in range(_HLL_M)]
+
+
+def _hll_merge(o, n):
+    return [a if a >= b else b for a, b in zip(o, n)]
+
+
+def _hll_final(s):
+    import math
+
+    S = sum(2.0 ** -r for r in s)  # exact dyadics: order-independent
+    V = sum(1 for r in s if r == 0)
+    e = _HLL_ALPHA_M2 / S
+    if e <= _HLL_LINEAR_MAX and V > 0:
+        e = float(_HLL_M) * math.log(float(_HLL_M) / V)
+    return round(e, 4)
+
+
+def _hll_cat(p, i):
+    regs = F.slice(p, i + 1, _HLL_M)
+    S = F.aggregate(
+        regs, F.lit(0.0), lambda acc, r: acc + F.pow(F.lit(2.0), -r)
+    )
+    V = F.size(F.filter(regs, lambda r: r == F.lit(0.0)))
+    raw = F.lit(_HLL_ALPHA_M2) / S
+    lin = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / V.cast("double"))
+    return F.round(
+        F.when((raw <= F.lit(_HLL_LINEAR_MAX)) & (V > 0), lin).otherwise(raw), 4
+    )
+
+
 _CB_OPS = {
     # op: (n_slots,
     #      batch_kernel(frame_groupby, in_col) -> list of per-slot
@@ -357,6 +437,10 @@ _CB_OPS = {
     "std": (3, _var_batch, _var_merge,
             lambda s: _var_final(s) ** 0.5, "double",
             lambda p, i: F.sqrt(_var_cat(p, i))),
+    # hll64: mergeable approx count-distinct — the registers are the
+    # slots (merge = elementwise max); input column must be hll_prep'd
+    "hll64": (_HLL_M, _hll_batch, _hll_merge, _hll_final, "double",
+              _hll_cat),
 }
 
 
