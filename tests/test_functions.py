@@ -785,3 +785,48 @@ def test_bm25_vs_duckdb_and_plan(spark, docs, ddb):
     # compile to broadcast loops, which is the point)
     assert audit.has_broadcast_join(out)
     assert not audit.has_cartesian(out)
+
+
+# ---- IVF learned codebook (r7) --------------------------------------
+
+
+def test_kmeans_centroids_learn_clusters(spark, vecs):
+    """On a clustered fixture (12 anchor-shifted clusters) Lloyd's
+    refinement aligns the codebook with the real clusters: nprobe=1
+    recall jumps from the untrained sample's min 0 to >= 0.55 per
+    query — the reason train_iters exists. Also pins determinism
+    (two runs, identical centroids)."""
+    anchors = vecs.filter(F.col("vec_id") < 12).select(
+        (F.col("vec_id") % 12).alias("_a"), F.col("embedding").alias("_avec")
+    )
+    clustered = (
+        vecs.withColumn("_a", F.col("vec_id") % 12)
+        .join(F.broadcast(anchors), "_a")
+        .select(
+            "vec_id",
+            F.zip_with("embedding", "_avec", lambda x, y: x + 1.0 * y).alias(
+                "embedding"
+            ),
+        )
+    )
+    qs = clustered.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(clustered, qs, k=5).toPandas()
+    es = exact.groupby("q_id")["c_id"].apply(set)
+
+    def recalls(ti):
+        ann = similarity.ivf_topk(
+            clustered, qs, k=5, n_cells=16, nprobe=1, train_iters=ti
+        ).toPandas()
+        as_ = ann.groupby("q_id")["c_id"].apply(set)
+        return [len(es[q] & as_.get(q, set())) / len(es[q]) for q in es.index]
+
+    trained = recalls(3)
+    untrained = recalls(0)
+    # sf0.001 floors (the tiny corpus is noisier than the gate's
+    # sf0.01, where trained min = 0.60 vs untrained min = 0.00)
+    assert min(trained) >= 0.4, trained
+    assert sum(trained) / len(trained) >= 0.8, trained
+    assert sum(trained) / len(trained) > sum(untrained) / len(untrained)
+    c1 = similarity.kmeans_centroids(clustered, n_cells=16, iters=2)
+    c2 = similarity.kmeans_centroids(clustered, n_cells=16, iters=2)
+    assert (c1 == c2).all()
