@@ -1242,6 +1242,36 @@ def q_streaming_cep_kleene(spark, sf_dir):
     return se.run_to_memory(out, name, spark, output_mode="append")
 
 
+def q_streaming_cb_histq(spark, sf_dir):
+    """Streaming approximate QUANTILE windows (r7): a fixed-range
+    equi-width histogram as a CB fold (register_quantile_hist_op) —
+    bucket counts are the slots, merge is elementwise ADD: the
+    decomposable sketch a raw median is not (register_cb_op rejects
+    median at registration; this is the declared alternative). p50
+    over [0, 500) in 100 buckets (w = 5.0 — error ≤ one bucket
+    width); finalize interpolates inside the first bucket reaching
+    rank q·n. Counts are exact integers and every float op uses
+    shared literals, so the oracle recomputes the IDENTICAL value.
+    Also the first driver gate whose op has NO Catalyst finalizer —
+    the EOS flush for it rides the mapInPandas fallback arm."""
+    import uuid
+
+    from windflow_spark.streaming import engine as se
+
+    if "histq_p50" not in se._CB_OPS:
+        se.register_quantile_hist_op(
+            "histq_p50", lo=0.0, hi=500.0, bins=100, q=0.5
+        )
+    src = _renumbered_ids_stream(spark, sf_dir, "wf_gate_histq_")
+    out = se.stream_cb_windows(
+        src, "user_key", "wf_id", None, WinSpec("cb", 10, 10),
+        aggs={"p50": ("histq_p50", "value"), "cnt": ("count", None)},
+    )
+    name = f"gate_stream_histq_{uuid.uuid4().hex[:8]}"
+    res = se.run_to_memory(out, name, spark, output_mode="append")
+    return res.select("user_key", "gwid", "p50", "cnt", "win_end")
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Streaming exact dedup (engine.stream_exact_dedup): the documents
     table staged TWICE and drained file-per-trigger, so every digest
@@ -1526,7 +1556,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — pipes / joins / windowed extensions (4)
         "asof_join": q_asof_join,
         "ysb_pipeline": q_ysb_pipeline,
-        "win_quantile": q_win_quantile,
         # — sampling / splitting / packing / quality (8; r6 + the r7
         #   additions pack_bucketed_dense, sample_k_weighted,
         #   mix_sources)
@@ -1574,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cep_skip": q_streaming_cep_skip,
         "streaming_cep_kleene": q_streaming_cep_kleene,
         "streaming_cb_hll": q_streaming_cb_hll,
+        "streaming_cb_histq": q_streaming_cb_histq,
         "streaming_dedup": q_streaming_dedup,
         # ---- position 51+: three-round-stable rotation (driver checks
         #      stop at 50; tools/check_entry.py still checks these)
@@ -1583,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "text_quality": q_text_quality,
         "ann_ivf": q_ann_ivf,
+        "win_quantile": q_win_quantile,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "token_counts": q_token_counts,
@@ -2085,6 +2116,46 @@ def oracle_sql() -> dict[str, str]:
           FROM ids i JOIN mx ON i.user_key = mx.user_key
           GROUP BY i.user_key, wf_id // 10)
         SELECT user_key, gwid, sum_value, cnt, win_end FROM agg WHERE win_end <= m
+    """
+    # streaming histogram-quantile: the oracle REBUILDS the per-window
+    # equi-width histogram (shared literals lo=0, w=5.0, bins=100,
+    # q=0.5) and interpolates in the first bucket reaching rank q·n —
+    # exact-integer counts, identically-ordered float ops, round 4
+    sql["streaming_cb_histq"] = """
+        WITH ids AS (
+          SELECT user_id::VARCHAR AS user_key, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS wf_id
+          FROM events),
+        mx AS (SELECT user_key, max(wf_id) AS m FROM ids GROUP BY 1),
+        h AS (
+          SELECT user_key, wf_id // 10 AS gwid,
+                 least(greatest(cast(floor((value - 0.0) / 5.0) AS INT), 0), 99) AS b
+          FROM ids),
+        hc AS (SELECT user_key, gwid, b, count(*)::DOUBLE AS c
+               FROM h GROUP BY 1, 2, 3),
+        t AS (SELECT user_key, gwid, sum(c) AS total FROM hc GROUP BY 1, 2),
+        cum AS (
+          SELECT hc.user_key, hc.gwid, hc.b, hc.c, t.total,
+                 sum(hc.c) OVER (PARTITION BY hc.user_key, hc.gwid
+                                 ORDER BY hc.b) AS cum
+          FROM hc JOIN t USING (user_key, gwid)),
+        pick AS (
+          SELECT user_key, gwid, min(b) AS b FROM cum
+          WHERE cum >= 0.5 * total GROUP BY 1, 2),
+        val AS (
+          SELECT c2.user_key, c2.gwid,
+                 round(0.0 + 5.0 * (c2.b + (0.5 * c2.total - (c2.cum - c2.c)) / c2.c), 4) AS p50
+          FROM cum c2 JOIN pick p
+            ON p.user_key = c2.user_key AND p.gwid = c2.gwid AND p.b = c2.b),
+        cnt AS (
+          SELECT i.user_key, wf_id // 10 AS gwid, count(*) AS cnt,
+                 (wf_id // 10) * 10 + 9 AS win_end, max(mx.m) AS m
+          FROM ids i JOIN mx ON i.user_key = mx.user_key
+          GROUP BY i.user_key, wf_id // 10)
+        SELECT c.user_key, c.gwid, v.p50, c.cnt, c.win_end
+        FROM cnt c JOIN val v
+          ON v.user_key = c.user_key AND v.gwid = c.gwid
+        WHERE c.win_end <= c.m
     """
     # streaming HLL: the oracle REBUILDS the 64-register sketch from the
     # raw rows — same portable md5 (first 6 hex chars = 24-bit value,

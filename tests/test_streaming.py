@@ -1244,3 +1244,90 @@ def test_stream_cb_hll_matches_replay_and_exact(spark, tx_path, tdir):
         assert row["du"] == want[key], (key, row["du"], want[key])
         ex = exact[key]
         assert abs(row["du"] - ex) <= max(3.0, 0.35 * ex), (key, row["du"], ex)
+
+
+# ---- histogram-quantile fold (r7) -----------------------------------
+
+
+def test_quantile_hist_fold_registration_and_semantics():
+    """The factory registers through register_cb_op (so decomposability
+    is property-checked), merge is elementwise add, and the finalize
+    interpolation lands within one bucket width of the exact quantile."""
+    import numpy as np
+
+    name = "histq_t_sem"
+    lits = se.register_quantile_hist_op(name, lo=0.0, hi=100.0, bins=50, q=0.5)
+    try:
+        assert lits == {"lo": 0.0, "hi": 100.0, "bins": 50, "w": 2.0, "q": 0.5}
+        n_slots, batch, merge, fin, out_t, cat = se._CB_OPS[name]
+        assert n_slots == 50 and out_t == "double" and cat is None
+        rng = np.random.default_rng(3)
+        vals = rng.uniform(0, 100, 500)
+        frame = pd.DataFrame(
+            {"_w": np.zeros(500, dtype=np.int64), "_id": np.arange(500),
+             "v": vals}
+        )
+        g = frame.groupby("_w", sort=True)
+        whole = [float(s.loc[0]) for s in batch(g, "v")]
+        # merge of halves == whole (exact integer counts)
+        g1 = frame.iloc[:250].groupby("_w", sort=True)
+        g2 = frame.iloc[250:].groupby("_w", sort=True)
+        merged = merge([float(s.loc[0]) for s in batch(g1, "v")],
+                       [float(s.loc[0]) for s in batch(g2, "v")])
+        assert merged == whole
+        est = fin(whole)
+        assert abs(est - np.quantile(vals, 0.5)) <= 2.0 + 1e-9  # one bucket
+        # clamping: out-of-range values land in edge buckets
+        f2 = pd.DataFrame({"_w": [0, 0], "_id": [0, 1], "v": [-5.0, 1e6]})
+        s2 = batch(f2.groupby("_w", sort=True), "v")
+        assert float(s2[0].loc[0]) == 1.0 and float(s2[49].loc[0]) == 1.0
+    finally:
+        del se._CB_OPS[name]
+
+
+def test_stream_cb_histq_matches_replay(spark, tx_path, tdir):
+    """Streaming histogram-quantile windows (fired + the EOS flush via
+    the NO-Catalyst mapInPandas fallback arm) == a pandas replay of the
+    same histogram per window."""
+    import numpy as np
+
+    name = "histq_t_len"
+    lits = se.register_quantile_hist_op(name, lo=0.0, hi=200.0, bins=80, q=0.5)
+    try:
+        schema = _schema(spark, tx_path)
+        spec = WinSpec("cb", 12, 12)
+        src = se.stream_source(spark, tx_path, schema, max_files_per_trigger=1)
+        stream = se.stream_cb_windows(
+            src.withColumn("tl", F.length("text").cast("double")),
+            "conv_id", "turn_idx", None, spec,
+            aggs={"p50": (name, "tl"), "c": ("count", None)},
+        )
+        sink, ckpt = str(tdir / "hq_sink"), str(tdir / "hq_ckpt")
+        se.run_available_now(stream, sink, ckpt, timeout_sec=300)
+        fired = spark.read.parquet(sink)
+        flushed = se.flush_cb_partials(
+            spark, ckpt, "conv_id", spec,
+            aggs={"p50": (name, "tl"), "c": ("count", None)},
+        )
+        got = fired.unionByName(flushed).toPandas()
+        assert flushed.count() > 0 and len(got) > 0
+        pdf = spark.read.parquet(tx_path).toPandas()
+        pdf["tl"] = pdf["text"].str.len().astype(float)
+        fin = se._CB_OPS[name][3]
+        w = lits["w"]
+        want = {}
+        for (k, gw), g in pdf.assign(_w=pdf["turn_idx"] // 12).groupby(
+            ["conv_id", "_w"]
+        ):
+            counts = np.zeros(lits["bins"])
+            b = np.clip(np.floor((g["tl"].to_numpy() - lits["lo"]) / w),
+                        0, lits["bins"] - 1).astype(int)
+            for x in b:
+                counts[x] += 1
+            want[(k, int(gw))] = fin(list(counts))
+        assert len(got) == len(want)
+        for _, row in got.iterrows():
+            key = (row["conv_id"], int(row["gwid"]))
+            assert row["p50"] == want[key], (key, row["p50"], want[key])
+    finally:
+        del se._CB_OPS[name]

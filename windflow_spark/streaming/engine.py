@@ -521,10 +521,88 @@ def register_cb_op(
                     f"split at {k} gives slots {merged} but folding the "
                     f"whole sample gives {whole} — the cross-batch merge "
                     "would emit wrong windows. Use an NIC whole-window "
-                    "UDF (win_seq nic_fn) for non-decomposable logic."
+                    "UDF (win_seq nic_fn) for exact non-decomposable "
+                    "logic, or register_quantile_hist_op for a mergeable "
+                    "approximate quantile."
                 )
         finalize(whole)  # must at least run on real partials
     _CB_OPS[name] = (n_slots, batch, merge, finalize, out_type, catalyst)
+
+
+def register_quantile_hist_op(
+    name: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    q: float = 0.5,
+) -> dict:
+    """Register a MERGEABLE approximate quantile as a CB fold: a
+    fixed-range equi-width histogram whose bucket counts are the
+    partial slots (merge = elementwise ADD — the decomposable sketch
+    that a raw median is not; ``register_cb_op`` rejects the latter at
+    registration, this is the declared alternative it points to).
+    Error bound: one bucket width (hi − lo)/bins — the caller chooses
+    the precision/state tradeoff. Values outside [lo, hi) clamp into
+    the edge buckets (documented semantics, mirrored by oracles).
+
+    finalize: lower-interpolated quantile — target rank = q·n; walk
+    the cumulative counts to the first non-empty bucket reaching it
+    and interpolate inside: lo + w·(bucket + (target − cum_before)/c),
+    rounded to 4 dp. Every ingredient is exact-integer counts plus
+    identically-ordered float arithmetic over SHARED literals (w is
+    Python-evaluated once), so a DuckDB oracle recomputes the
+    identical value. No Catalyst finalizer is declared — the EOS flush
+    transparently routes these partials through the mapInPandas arm
+    (the register_cb_op fallback path).
+
+    Returns the literals dict {lo, hi, bins, w, q} so gates/oracles
+    embed the exact same floats."""
+    import numpy as np
+
+    lo_, hi_, q_ = float(lo), float(hi), float(q)
+    if not (hi_ > lo_ and bins >= 2 and 0.0 < q_ < 1.0):
+        raise ValueError("need hi > lo, bins >= 2, 0 < q < 1")
+    w = (hi_ - lo_) / bins
+
+    def batch(g, c):
+        df = g.obj
+        v = df[c].to_numpy(dtype=np.float64)
+        b = np.clip(np.floor((v - lo_) / w), 0, bins - 1).astype(np.int64)
+        t = pd.DataFrame({"_w": df["_w"].to_numpy(), "_b": b})
+        mx = (
+            t.groupby(["_w", "_b"], sort=True)
+            .size()
+            .astype("float64")
+            .unstack("_b", fill_value=0.0)
+            .reindex(columns=range(bins), fill_value=0.0)
+            .reindex(index=g.size().index, fill_value=0.0)
+        )
+        return [mx[j] for j in range(bins)]
+
+    def merge(o, n):
+        return [a + b for a, b in zip(o, n)]
+
+    def finalize(s):
+        total = sum(s)
+        target = q_ * total
+        cum = 0.0
+        for i, c in enumerate(s):
+            if c > 0 and cum + c >= target:
+                return round(lo_ + w * (i + (target - cum) / c), 4)
+            cum += c
+        return round(hi_, 4)
+
+    register_cb_op(
+        name,
+        n_slots=bins,
+        batch=batch,
+        merge=merge,
+        finalize=finalize,
+        out_type="double",
+        validate_with=[lo_ + (hi_ - lo_) * f for f in
+                       (0.05, 0.2, 0.2, 0.45, 0.6, 0.8, 0.95)],
+    )
+    return {"lo": lo_, "hi": hi_, "bins": bins, "w": w, "q": q_}
 
 
 def _make_cb_fold(win: int, slide: int, aggs: dict, in_cols: list[str]):
