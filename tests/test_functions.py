@@ -634,9 +634,8 @@ def test_connected_components_vs_duckdb_recursive(spark, docs, ddb):
 def test_dedup_keep_list_transitive_wiring(spark):
     """transitive=True routes the verified pairs through
     connected_components and keeps exactly the component min; on a
-    clique the greedy and transitive rules agree (the chain-divergence
-    case is exercised by the dedup_components gate's closed-form chain
-    fixture and test_connected_components_chains_stars_isolated)."""
+    clique the greedy and transitive rules agree (the divergence case
+    is test_dedup_keep_list_chain_divergence below)."""
     texts = {
         # near-identical trio: ids 1 < 2 < 3, engineered so the LSH
         # candidates include all pairs; jaccard(1,3) and jaccard(2,3)
@@ -830,3 +829,28 @@ def test_kmeans_centroids_learn_clusters(spark, vecs):
     c1 = similarity.kmeans_centroids(clustered, n_cells=16, iters=2)
     c2 = similarity.kmeans_centroids(clustered, n_cells=16, iters=2)
     assert (c1 == c2).all()
+
+
+def test_dedup_keep_list_chain_divergence(spark):
+    """The documented greedy-vs-exact divergence on a REAL LSH chain:
+    doc 3 = doc 1's text + doc 2's text, so the verified pairs are
+    (1,3) and (2,3) — never (1,2) (jaccard(1,2) = 0). Greedy drops only
+    the pairs' id_b side {3} and keeps BOTH 1 and 2; transitive
+    clustering collapses the {1,2,3} component to its min and keeps
+    only 1. (Fixture alphabet chosen so both pairs survive the
+    deterministic md5 LSH at bands=8, rows=2.)"""
+    A = " ".join(f"w1a{i}" for i in range(14))
+    C = " ".join(f"w1c{i}" for i in range(14))
+    texts = {1: A, 2: C, 3: A + " " + C, 9: "totally different content here now"}
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    kw = dict(threshold=0.4, n=3, minhash_k=16, bands=8, rows_per_band=2,
+              persist=False)
+    greedy = dedup.dedup_keep_list(docs, "doc_id", "text", **kw).toPandas()
+    greedy = greedy.set_index("doc_id")["keep"]
+    trans = dedup.dedup_keep_list(
+        docs, "doc_id", "text", transitive=True, **kw
+    ).toPandas().set_index("doc_id")["keep"]
+    assert greedy[1] and greedy[2] and not greedy[3] and greedy[9]
+    assert trans[1] and not trans[2] and not trans[3] and trans[9]
