@@ -2,6 +2,7 @@
 run executes over a raw document table —
 
   quality + repetition features → filter → near-dup dedup keep list →
+  benchmark decontamination (optional, 13-gram probe overlap) →
   deterministic train/val split → token-budget sequence packing →
   curated parquet, partitioned by split.
 
@@ -15,6 +16,7 @@ Usage:
       --input <docs parquet dir> --output <dir> \
       [--min-distinct-ratio 0.2] [--max-top-token 0.6] \
       [--jaccard 0.8] [--max-df 1000] [--budget 2048] \
+      [--decontaminate <probe parquet dir> [--contam-ngram 13]] \
       [--train 0.95] [--val 0.05] [--report <json path>]
 """
 
@@ -53,6 +55,14 @@ def main() -> None:
                          "sort parallelism; a split-keyed single window "
                          "would be ONE task per split at 100 TB). Needs "
                          "a numeric id column; 0 disables bucketing")
+    ap.add_argument("--decontaminate", default=None,
+                    help="parquet dir of eval/benchmark probe documents; "
+                         "drops survivors sharing any normalized word "
+                         "n-gram with them (GPT-3/Gopher 13-gram rule; "
+                         "probe n-grams broadcast — the stage's shuffle "
+                         "is proportional to contamination, not corpus)")
+    ap.add_argument("--probe-text-col", default="text")
+    ap.add_argument("--contam-ngram", type=int, default=13)
     ap.add_argument("--train", type=float, default=0.95)
     ap.add_argument("--val", type=float, default=0.05)
     ap.add_argument("--report", default=None,
@@ -90,6 +100,21 @@ def main() -> None:
             keep.filter(F.col("keep")).select(args.id_col),
             args.id_col, "left_semi",
         )
+
+        # 2b. benchmark decontamination (optional): drop survivors
+        # sharing any normalized n-gram with the probe set — probe
+        # grams broadcast, only MATCHED grams shuffle
+        n_decontam = None
+        if args.decontaminate:
+            probes = spark.read.parquet(args.decontaminate)
+            deduped = text.ngram_contamination(
+                deduped, probes,
+                text_col=args.text_col,
+                probe_text_col=args.probe_text_col,
+                n=args.contam_ngram,
+                id_col=args.id_col,
+            ).filter(~F.col("contaminated")).drop("n_hits", "contaminated")
+            n_decontam = deduped.count() if args.report else None
 
         # 3. deterministic split + per-split token-budget packing.
         # The pack layout is bucketed (two-pass prefix sum) so its sort
@@ -134,6 +159,7 @@ def main() -> None:
     summary = {
         "rows_in": n_in,
         "after_quality": n_quality,
+        "after_decontaminate": n_decontam,
         "after_dedup_and_split": n_out,
         "splits": split_counts,
         "packed_bins": n_bins,

@@ -96,14 +96,15 @@ def test_job_drains_and_flushes_to_batch_parity(tmp_path):
     not os.path.exists(SPARK_SUBMIT), reason="spark-submit not on this image"
 )
 def test_curate_corpus_job_end_to_end(tmp_path):
-    """The batch curation job (quality -> dedup -> split -> pack) under
-    real spark-submit, verified against the same stages composed
-    in-process: the job is a pure function of its inputs, so the
-    spark-submit run and the library composition must agree row-set
-    for row-set. The replica packs with the SINGLE-WINDOW layout while
-    the job uses the bucketed two-pass prefix sum (--pack-buckets), so
-    this equality is also the job-level parity proof for the
-    distributed layout."""
+    """The batch curation job (quality -> dedup -> decontaminate ->
+    split -> pack) under real spark-submit, verified against the same
+    stages composed in-process: the job is a pure function of its
+    inputs, so the spark-submit run and the library composition must
+    agree row-set for row-set. The replica packs with the
+    SINGLE-WINDOW layout while the job uses the bucketed two-pass
+    prefix sum (--pack-buckets), so this equality is also the
+    job-level parity proof for the distributed layout. The probe set
+    (every 25th doc) makes --decontaminate genuinely drop rows."""
     import json
 
     shutil.copytree("/root/testdata/sf0.001", tmp_path / "docs_all",
@@ -125,13 +126,27 @@ def test_curate_corpus_job_end_to_end(tmp_path):
         "--output", str(tmp_path / "curated"),
         "--report", str(report),
         "--budget", "256",
+        "--decontaminate", str(tmp_path / "probes"),
     ]
+    # probe set for the decontamination stage, written BEFORE launch
+    import duckdb as _dd
+
+    con = _dd.connect()
+    (tmp_path / "probes").mkdir()
+    con.execute(
+        "COPY (SELECT doc_id, text FROM read_parquet('"
+        + str(tmp_path / "in" / "documents.parquet")
+        + "') WHERE doc_id % 25 = 0) TO '"
+        + str(tmp_path / "probes" / "p.parquet")
+        + "' (FORMAT PARQUET)"
+    )
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
                          cwd=str(REPO))
     assert out.returncode == 0, out.stderr[-2000:]
     summary = json.loads(report.read_text())
     assert summary["rows_in"] == 500
-    assert 0 < summary["after_dedup_and_split"] <= summary["after_quality"]
+    assert 0 < summary["after_decontaminate"] < summary["after_quality"]
+    assert 0 < summary["after_dedup_and_split"] <= summary["after_decontaminate"]
     assert set(summary["splits"]) <= {"train", "val"}
     assert summary["packed_bins"] >= 1
 
@@ -156,6 +171,10 @@ def test_curate_corpus_job_end_to_end(tmp_path):
         deduped = kept_q.join(
             keep.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
         )
+        probes = spark.read.parquet(str(tmp_path / "probes"))
+        deduped = text.ngram_contamination(
+            deduped, probes, n=13
+        ).filter(~F.col("contaminated")).drop("n_hits", "contaminated")
         split = sampling.hash_split(
             deduped, "doc_id", {"train": 0.95, "val": 0.05}
         ).withColumn("_tok", text.token_count("text"))
