@@ -641,3 +641,79 @@ def test_stream_match_kleene_final_plus_closure(spark, tdir):
     got = se.run_to_memory(out, "t_cep_kfp", spark, output_mode="append").toPandas()
     # (0,3) closed by C@4; (5,6) still open at stream end -> not emitted
     assert sorted(map(tuple, got[["start_id", "end_id"]].to_numpy())) == [(0, 3)]
+
+
+def test_stream_match_kleene_within_equals_batch(spark, tdir):
+    """The streaming Kleene within-bound (completion filter + pending
+    expiry once the last seen ts outruns the span) == batch, across
+    micro-batch boundaries; the bound must discriminate."""
+    from windflow_spark.operators.windows import epoch_us
+
+    pdf = datagen.gen_transcripts(n_convs=20, seed=53, mean_turns=30)
+    path = str(tdir / "tx_kleene_w")
+    os.makedirs(path, exist_ok=True)
+    for shard in range(6):
+        part = pdf[(pdf["turn_idx"] >= shard * 7) & (pdf["turn_idx"] < (shard + 1) * 7)]
+        if len(part):
+            datagen.write_parquet_us(part, f"{path}/part-{shard}.parquet")
+    left = pdf[pdf["turn_idx"] >= 42]
+    if len(left):
+        datagen.write_parquet_us(left, f"{path}/part-tail.parquet")
+    batch = spark.read.parquet(path)
+    steps = [
+        F.col("role") == "user",
+        F.col("role").isin("assistant", "tool"),
+        F.col("role") == "user",
+    ]
+    within = 8_000_000  # 8 s
+    want = cep.match_events(
+        batch.withColumn("us", epoch_us("ts")),
+        "conv_id", "turn_idx", steps, ts_col="us", within=within,
+        quantifiers="1+1",
+    ).toPandas()
+    loose = cep.match_events(
+        batch.withColumn("us", epoch_us("ts")),
+        "conv_id", "turn_idx", steps, ts_col="us", quantifiers="1+1",
+    ).count()
+    assert 0 < len(want) < loose, (len(want), loose)
+    schema = spark.read.parquet(path).schema
+    src = se.stream_source(spark, path, schema, max_files_per_trigger=1)
+    out = se.stream_match_events(
+        src.withColumn("us", epoch_us("ts")),
+        "conv_id", "turn_idx", steps, ts_col="us", within=within,
+        quantifiers="1+1",
+    )
+    got = se.run_to_memory(out, "t_cep_kw", spark, output_mode="append").toPandas()
+    assert len(got) == len(want)
+    assert_frames_equal(got, want, ["conv_id", "start_id"])
+
+
+def test_match_events_kleene_property_sweep(spark):
+    """Hypothesis-style deterministic sweep: random event sequences ×
+    every 2-3 step quantifier mix vs the greedy pandas reference."""
+    rng = np.random.default_rng(61)
+    for trial in range(4):
+        n = 120
+        pdf = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b"], n),
+                "ev": rng.choice(["A", "B"], n, p=[0.4, 0.6]),
+                "us": np.arange(n, dtype=np.int64),
+            }
+        )
+        pdf["i"] = pdf.groupby("k").cumcount()
+        pdf = pdf[rng.random(n) > 0.08].reset_index(drop=True)
+        df = spark.createDataFrame(pdf)
+        steps2 = [F.col("ev") == "A", F.col("ev") == "B"]
+        preds2 = [lambda r: r["ev"] == "A", lambda r: r["ev"] == "B"]
+        for quant in ("1+", "+1", "++"):
+            got = sorted(
+                map(
+                    tuple,
+                    cep.match_events(df, "k", "i", steps2, quantifiers=quant)
+                    .toPandas()[["k", "start_id", "end_id"]]
+                    .to_numpy(),
+                )
+            )
+            want = _pandas_reference_kleene(pdf, preds2, list(quant))
+            assert got == want, (trial, quant, got[:4], want[:4])
