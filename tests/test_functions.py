@@ -854,3 +854,48 @@ def test_dedup_keep_list_chain_divergence(spark):
     ).toPandas().set_index("doc_id")["keep"]
     assert greedy[1] and greedy[2] and not greedy[3] and greedy[9]
     assert trans[1] and not trans[2] and not trans[3] and trans[9]
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Random graph sweep (deterministic seeds) vs a union-find
+    reference: sparse/dense mixes, many isolated-from-each-other
+    components, long paths — the exact fixpoint must agree everywhere."""
+    rng = np.random.default_rng(67)
+    for trial, (n_nodes, n_edges) in enumerate(
+        [(60, 30), (60, 90), (200, 120), (40, 200)]
+    ):
+        a = rng.integers(0, n_nodes, n_edges)
+        b = rng.integers(0, n_nodes, n_edges)
+        pdf = pd.DataFrame({"id_a": a, "id_b": b})
+        got = dict(
+            map(
+                tuple,
+                dedup.connected_components(spark.createDataFrame(pdf))
+                .toPandas()[["id", "component"]]
+                .to_numpy(),
+            )
+        )
+        # union-find reference
+        parent = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for u, v in zip(a.tolist(), b.tolist()):
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        want = {x: find(x) for x in parent}
+        # normalize reference roots to component minima
+        comp_min = {}
+        for x, r in want.items():
+            comp_min[r] = min(comp_min.get(r, x), x)
+        want = {x: comp_min[find(x)] for x in parent}
+        assert got == want, (trial, len(got), len(want))
