@@ -95,6 +95,8 @@ def verify_tws(spark) -> str:
             finalize=lambda s: s[1] - s[0], out_type="double",
             validate_with=[3.0, -1.5, 8.25, 0.0, 4.5],
         )
+    if "histq_cv" not in se._CB_OPS:
+        se.register_quantile_hist_op("histq_cv", lo=0.0, hi=40.0, bins=20, q=0.5)
     aggs = {
         "s": ("sum", "v"), "c": ("count", None),
         "mn": ("min", "v"), "mx": ("max", "v"), "avg": ("mean", "v"),
@@ -102,6 +104,7 @@ def verify_tws(spark) -> str:
         "vr": ("var", "v"), "sd": ("std", "v"),  # 3-slot triple (r6)
         "rg": ("vrange", "v"),  # user fold (register_cb_op, r6)
         "du": ("hll64", "vh"),  # 64-slot mergeable sketch (r7)
+        "p50": ("histq_cv", "v"),  # histogram-quantile factory (r7)
     }
 
     def run(fn, name):
