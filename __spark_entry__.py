@@ -71,6 +71,21 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Spread an UNSPLITTABLE scan across the cluster (guide §2.5
+    "input skew: one huge unsplittable file … repartition immediately
+    after the read"): every sf table here is ONE parquet file with ONE
+    row group, so everything upstream of the first exchange otherwise
+    executes in a single task while the other 31 cores idle — measured
+    8.4 s single-task vs 1.1 s fanned for the text_repetition fold at
+    sf1.0. Round-robin (no key → no skew), scale-adaptive width
+    (defaultParallelism = cores locally, executors × cores on a
+    cluster). Only worth it when per-row compute upstream of the first
+    exchange dominates the extra narrow shuffle — applied per-query,
+    not in the shared readers (cheap scans keep their plan)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: Source→Map→Filter→keyBy→Win_Seq(TB sliding)→ordered
     over sf0.001 events (the transcripts-shaped stream fixture)."""
@@ -156,7 +171,12 @@ def q_win_nic_median(spark, sf_dir):
     INC path can't fold). NB: this gate deliberately exercises the NIC
     machinery; a real median user should prefer the native
     ``F.median``/``percentile`` aggregate (JVM-side, no Arrow hop)."""
-    ev = _events(spark, sf_dir).withColumn("us", epoch_us("ts"))
+    # project to the 3 columns the NIC fn touches BEFORE the Arrow hop:
+    # mapInPandas is opaque to Catalyst's column pruning, so without
+    # this every event column crossed the Python boundary (guide §4.1)
+    ev = _events(spark, sf_dir).select(
+        "event_type", "value", epoch_us("ts").alias("us")
+    )
 
     def nic(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -427,14 +447,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     # distinct=False: min() is duplicate-insensitive, so the shingle
     # dedupe exchange is pure cost on the MinHash-only path (identical
     # signatures; the oracle's DISTINCT shingle CTE still matches)
-    sh = dedup.word_shingles(_docs(spark, sf_dir), "doc_id", "text", n=3,
+    # _fan: shingle explode + 16 md5 mixes per shingle otherwise run in
+    # the scan's single task (guide §2.5)
+    sh = dedup.word_shingles(_fan(_docs(spark, sf_dir)), "doc_id", "text", n=3,
                              distinct=False)
     sigs = dedup.minhash_signatures(sh, "doc_id", k=16)
     return dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return dedup.simhash(_docs(spark, sf_dir), "doc_id", "text")
+    # _fan: single-file doc table — the Arrow UDF otherwise runs in ONE
+    # Python worker (guide §2.5/§4)
+    return dedup.simhash(_fan(_docs(spark, sf_dir)), "doc_id", "text")
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -456,8 +480,11 @@ def q_dedup_pipeline(spark, sf_dir):
 
 def q_embedding_topk(spark, sf_dir):
     vecs = _vecs(spark, sf_dir)
+    # _fan the CORPUS side only: the broadcast-join + per-pair dot fold
+    # otherwise scores every (corpus × query) pair in ONE task
+    # (guide §2.5); the query side stays a tiny broadcast.
     return similarity.brute_force_topk(
-        vecs, vecs.filter(F.col("vec_id") < 10), k=5
+        _fan(vecs), vecs.filter(F.col("vec_id") < 10), k=5
     ).select("q_id", "rank", "c_id", "cos")
 
 
@@ -539,7 +566,9 @@ def q_ann_ivf_kmeans(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    return text.quality_features(_docs(spark, sf_dir)).select(
+    # _fan: single-file doc table — regex/tokenize per doc otherwise
+    # single-task (guide §2.5)
+    return text.quality_features(_fan(_docs(spark, sf_dir))).select(
         "doc_id",
         "n_tokens",
         F.round("mean_token_len", 6).alias("mean_token_len"),
@@ -1395,9 +1424,16 @@ def q_pack_bucketed_dense(spark, sf_dir):
     (doc_id -> bin_id), the strongest form of the check."""
     from windflow_spark.operators.windows import floordiv
 
+    # localCheckpoint (lazy): the four consumer branches (bucket
+    # totals, layout join, dense stats, dense join) otherwise each
+    # re-tokenize the corpus from the scan — materializing the NARROW
+    # (id, source, tok, _bk) rows once cuts 4 scans+tokenizes to 1
+    # (guide §3.3 "materialise an intermediate"; measured 1.18 → 0.50 s
+    # at sf1.0 — beats fanning the scan, whose exchange of raw text
+    # costs more than the single-task tokenize it parallelizes).
     toks = _docs(spark, sf_dir).select(
         "doc_id", "source", text.token_count("text").alias("tok")
-    ).withColumn("_bk", floordiv(F.col("doc_id"), 37))
+    ).withColumn("_bk", floordiv(F.col("doc_id"), 37)).localCheckpoint(eager=False)
     packed = sampling.pack_sequences(
         toks, "doc_id", "tok", 200,
         key_col="source", dense=True, bucket_col="_bk",
@@ -1436,8 +1472,10 @@ def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals — mode frequencies via
     the sorted-array run-length fold (text.py _max_run): zero
     exchanges, per-doc features stay embarrassingly parallel at
-    100 TB. Oracle recomputes via unnest + group-by mode counts."""
-    return text.repetition_features(_docs(spark, sf_dir)).select(
+    100 TB. Oracle recomputes via unnest + group-by mode counts.
+    _fan: the sf documents table is one unsplittable file — without it
+    the whole fold runs in ONE task (guide §2.5)."""
+    return text.repetition_features(_fan(_docs(spark, sf_dir))).select(
         "doc_id", "top_token_frac", "top_bigram_frac", "distinct_token_ratio"
     )
 

@@ -293,6 +293,12 @@ def pack_sequences(
         .drop("_boff")
     )
     if dense:
+        # the layout table feeds BOTH the dense-stats aggregate and the
+        # final renumber join; without materialization each branch
+        # re-runs the upstream join + per-bucket cumsum window from the
+        # source (guide §3.3 "materialise an intermediate" — lazy local
+        # checkpoint, computed once inside the caller's action).
+        out = out.localCheckpoint(eager=False)
         stats = out.groupBy(*keys).agg(
             F.count_distinct(F.col(bin_col)).alias("_nd"),
             F.min(bin_col).alias("_minb"),

@@ -189,38 +189,69 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     Mode frequencies come from the longest equal-run of the SORTED
     token/bigram array (`_max_run`) — linear, codegen'd, no shuffle.
     All fractions rounded to 6 places (engine/oracle float contract).
+
+    The token/bigram/line arrays are materialized ONCE per row through
+    a generator barrier (``inline(array(struct(...)))`` — exactly one
+    output row per input row): Catalyst's CollapseProject otherwise
+    inlines every array expression into each feature column, so the
+    tokenizing ``split`` ran ~8× and the bigram ``zip_with`` 3× per
+    row (higher-order lambdas are interpreted, not codegen'd, and get
+    no runtime subexpression elimination — measured 8.4 s → 3.1 s at
+    sf1.0 from this dedup alone, guide §1.2 "per-task work").
+    CollapseProject does not merge through Generate, so the arrays are
+    computed in the generator and the feature projection references
+    them as plain attributes.
     """
     t = tokens(text_col)
     bg = bigrams(text_col)
     lines = F.split(F.col(text_col), "\n")
-    dlines = F.array_distinct(lines)
-    line_chars = F.aggregate(
-        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    gen = df.select(
+        "*",
+        F.inline(
+            F.array(
+                F.struct(
+                    F.array_sort(t).alias("_rf_st"),
+                    F.array_sort(bg).alias("_rf_sbg"),
+                    F.array_distinct(lines).alias("_rf_dlines"),
+                    F.size(t).alias("_rf_nt"),
+                    F.size(bg).alias("_rf_nbg"),
+                    F.size(F.array_distinct(t)).alias("_rf_ndt"),
+                    F.size(lines).alias("_rf_nl"),
+                    F.aggregate(
+                        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+                    ).alias("_rf_lc"),
+                )
+            )
+        ),
     )
     dline_chars = F.aggregate(
-        dlines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        F.col("_rf_dlines"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
     r6 = lambda c: F.round(c, 6)  # noqa: E731
-    return df.withColumns(
+    return gen.withColumns(
         {
             "top_token_frac": r6(
-                _max_run(F.array_sort(t)) / F.size(t).cast("double")
+                _max_run(F.col("_rf_st")) / F.col("_rf_nt").cast("double")
             ),
             "top_bigram_frac": F.when(
-                F.size(bg) > 0,
-                r6(_max_run(F.array_sort(bg)) / F.size(bg).cast("double")),
+                F.col("_rf_nbg") > 0,
+                r6(_max_run(F.col("_rf_sbg")) / F.col("_rf_nbg").cast("double")),
             ),
             "distinct_token_ratio": r6(
-                F.size(F.array_distinct(t)) / F.size(t).cast("double")
+                F.col("_rf_ndt") / F.col("_rf_nt").cast("double")
             ),
             "dup_line_frac": r6(
-                F.lit(1.0) - F.size(dlines) / F.size(lines).cast("double")
+                F.lit(1.0)
+                - F.size(F.col("_rf_dlines")) / F.col("_rf_nl").cast("double")
             ),
             "dup_line_char_frac": F.when(
-                line_chars > 0,
-                r6(F.lit(1.0) - dline_chars / line_chars.cast("double")),
+                F.col("_rf_lc") > 0,
+                r6(F.lit(1.0) - dline_chars / F.col("_rf_lc").cast("double")),
             ).otherwise(F.lit(0.0)),
         }
+    ).drop(
+        "_rf_st", "_rf_sbg", "_rf_dlines", "_rf_nt", "_rf_nbg", "_rf_ndt",
+        "_rf_nl", "_rf_lc",
     )
 
 

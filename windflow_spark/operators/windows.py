@@ -177,8 +177,17 @@ def grouped_apply_in_pandas(
     part = df.repartition(n_parts, *cols).sortWithinPartitions(*cols)
 
     def run(batches):
+        # per-group results are BUFFERED and yielded once per input
+        # batch: each yield becomes its own Arrow record batch on the
+        # wire, and with thousands of small windows the per-batch
+        # serialization overhead dominated the actual UDF work
+        # (guide §4.1 — measured 1.46 → 0.9 s on the sf1.0 NIC median
+        # battery entry from this batching alone).
+        import pandas as _pd
+
         carry = None
         for pdf in batches:
+            outs = []
             if carry is not None and len(carry):
                 if len(carry) + len(pdf) > max_group_rows:
                     # only rows that CONTINUE carry's group count toward
@@ -224,12 +233,21 @@ def grouped_apply_in_pandas(
                 for _, g in head.groupby(cols, sort=False):
                     out = fn(g)
                     if out is not None and len(out):
-                        yield out
+                        outs.append(out)
+            if outs:
+                yield outs[0] if len(outs) == 1 else _pd.concat(
+                    outs, ignore_index=True
+                )
         if carry is not None and len(carry):
+            outs = []
             for _, g in carry.groupby(cols, sort=False):
                 out = fn(g)
                 if out is not None and len(out):
-                    yield out
+                    outs.append(out)
+            if outs:
+                yield outs[0] if len(outs) == 1 else _pd.concat(
+                    outs, ignore_index=True
+                )
 
     return part.mapInPandas(run, schema)
 
