@@ -67,10 +67,10 @@ def match_events(
     match; greedy-earliest binding means a ``within`` bound is exact —
     if the earliest completion exceeds it, every other completion
     would too. Ids only need to be strictly increasing per key, not
-    dense. Plan: ONE keyed window (per-step next-occurrence pointers =
-    a reverse running min + lead) plus k-2 EQUI joins on (key, id)
-    chaining the pointers (+1 join fetching ts_last) — cost
-    O(starts) per step, never a posting-list product.
+    dense. Plan: ONE keyed window stack — per-step next-occurrence
+    pointers are running mins of structs that CARRY the suffix
+    completion (r8 zero-join formulation; no self-joins, one
+    exchange) — never a posting-list product.
 
     ``quantifiers``: one of ``'1'`` (exactly one row — the default)
     or ``'+'`` (one or more contiguous rows, GREEDY-MAXIMAL) per
@@ -85,10 +85,11 @@ def match_events(
     partition end. ``within`` filters the greedy match's span; it
     does not backtrack to a shorter sub-run. Emits ``end_id`` of the
     greedy match; overlapping starts each emit their own match.
-    Plan: the per-+-step run boundary is "first ¬p at-or-after" — a
-    running min over (currentRow, unboundedFollowing) in the SAME
-    keyed window as the flags — then the same (key, id) equi-join
-    chain as skip mode, one join per step after the first.
+    Plan: the per-+-step run boundary is "first ¬p strictly after" —
+    a running min over (1, unboundedFollowing) in the SAME keyed
+    window as the flags, its struct carrying the next step's
+    completion (r8 zero-join formulation; no self-joins, one
+    exchange).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     k = len(steps)
@@ -163,26 +164,49 @@ def _match_events_kleene(
     ts_col: str | None,
     within: int | None,
 ) -> DataFrame:
-    """Strict-contiguity SEQ with greedy-maximal Kleene-plus steps.
+    """Strict-contiguity SEQ with greedy-maximal Kleene-plus steps —
+    ZERO-JOIN plan (r8): one exchange, a stack of window expressions,
+    no self-joins.
 
     Per row, ``_cont`` = this row's id is the previous row's id + 1
     (lag over the keyed window) — the contiguity bit; an id gap breaks
-    runs exactly like it unmatches fixed-k patterns. Per + step j the
-    run STOP for a row is the first LATER row where the predicate
-    fails OR contiguity breaks: a running min over (currentRow,
-    unboundedFollowing) of ``struct(id, prev_id)`` on stop rows (the
-    struct compares on id and carries the preceding row's id — the
-    run's true last id, correct across gaps), shifted back one row
-    with lead(). All of it lives in the SAME keyed Window as the
-    flags. A null stop means the run reaches the partition end
-    (end = max id; only a FINAL + step may use it). The binding chain
-    is the same (key, id) equi-join ladder as skip mode: one join per
-    step after the first, each start matching exactly one row per
-    join — O(starts × k), never a per-span product."""
+    runs exactly like it unmatches fixed-k patterns.
+
+    The binding chain is resolved RIGHT-TO-LEFT as a per-row
+    "completion" struct ``E_j`` = outcome (end_id [, ts_last]) of
+    binding steps j..k-1 at this row, null when the binding fails:
+
+    - ``q_j='1'``: ``E_j = when(s_j ∧ cont, lead(E_{j+1}, 1))`` — the
+      next step binds on the immediately following row (whose own
+      ``cont`` requirement enforces id-contiguity); the last step
+      resolves to its own (id, ts).
+    - ``q_j='+'``: the run STOP for a row is the first LATER row where
+      the predicate fails OR contiguity breaks: a running min over
+      (1, unboundedFollowing) of a struct keyed on the stop
+      row's id — which CARRIES the fields the binding needs from that
+      row (prev id = the run's true last id, prev ts, and the
+      already-computed ``E_{j+1}`` for the next step's completion).
+      A null stop means the run
+      reaches the partition end (end = max id; only a FINAL + step may
+      use it — an intermediate + with no stop has no row for the next
+      step to bind).
+
+    The r7 formulation chained the same pointers through k-1 (key, id)
+    equi-joins, each join arm RECOMPUTING the scan + window pipeline
+    (4 scans of the events table in the cep_kleene plan); carrying the
+    completion struct through the running min removes every join —
+    cost is one shuffle + O(k) linear passes over the sorted
+    partitions (cep_kleene 2.0 → ~1.2 s at sf1.0, plan 4 scans +
+    3 joins → 1 scan + 0 joins)."""
     k = len(steps)
     idl = F.col(id_col).cast("long")
     w = Window.partitionBy(*keys).orderBy(id_col)
-    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # "first stop strictly after this row": min over the
+    # (1 FOLLOWING, UNBOUNDED FOLLOWING) frame directly — identical to
+    # lead(min over (currentRow, ∞), 1) but ONE Window node per step
+    # instead of two (the lead cannot fuse with the min it shifts)
+    fwd1 = w.rowsBetween(1, Window.unboundedFollowing)
+    wpart = Window.partitionBy(*keys)
     base = df
     for j, s in enumerate(steps):
         base = base.withColumn(
@@ -191,90 +215,77 @@ def _match_events_kleene(
     base = base.withColumn("_previd", F.lag(idl).over(w)).withColumn(
         "_cont", F.coalesce(F.col("_previd") == idl - 1, F.lit(False))
     )
-    for j in range(k):
-        if quant[j] == "+":
-            stop = F.min(
-                F.when(
-                    ~F.col(f"_s{j}") | ~F.col("_cont"),
-                    F.struct(idl.alias("sid"), F.col("_previd").alias("pid")),
-                )
-            ).over(fwd)
-            base = base.withColumn(f"_stop{j}", F.lead(stop, 1).over(w))
+    tsl = F.col(ts_col).cast("long") if ts_col else None
     if quant[-1] == "+":
-        # a final + run may end at the partition end
-        base = base.withColumn(
-            "_maxid", F.max(idl).over(Window.partitionBy(*keys))
-        )
+        # a final + run may end at the partition end: end = max id,
+        # ts_last = the max row's ts (carried in the same unbounded max)
+        if ts_col is not None:
+            mx = F.max(F.struct(idl.alias("i"), tsl.alias("t"))).over(wpart)
+            base = base.withColumn("_maxid", mx["i"]).withColumn("_maxts", mx["t"])
+        else:
+            base = base.withColumn("_maxid", F.max(idl).over(wpart))
+        base = base.withColumn("_prevts", F.lag(tsl).over(w)) if ts_col else base
 
-    def _next_b(j: int) -> Column:
-        """Position where step j+1 binds, evaluated on step j's row."""
+    def _done(j: int) -> Column:
+        """Completion struct (end_id [, ts_last]) resolved on the FINAL
+        step's binding row."""
         if quant[j] == "1":
-            return idl + 1
-        # stop row id; null ⇒ run hits partition end: no row to bind.
-        # A stop caused by a GAP is killed at the next binding (its
-        # rhs requires _cont).
-        return F.col(f"_stop{j}.sid")
+            fields = [idl.alias("end_id")]
+            if ts_col is not None:
+                fields.append(tsl.alias("ts_last"))
+            return F.struct(*fields)
+        stop = F.col(f"_stop{j}")
+        fields = [F.coalesce(stop["pid"], F.col("_maxid")).alias("end_id")]
+        if ts_col is not None:
+            fields.append(F.coalesce(stop["pts"], F.col("_maxts")).alias("ts_last"))
+        return F.struct(*fields)
 
-    def _end_id(j: int) -> Column:
-        """end_id of the match, evaluated on the FINAL step's row."""
-        if quant[j] == "1":
-            return idl
-        return F.coalesce(F.col(f"_stop{j}.pid"), F.col("_maxid"))
+    # right-to-left: E_j available as column _e{j}; each '+' step's
+    # stop struct carries what its binding resolves to
+    for j in range(k - 1, -1, -1):
+        if quant[j] == "+":
+            carry = [idl.alias("sid"), F.col("_previd").alias("pid")]
+            if j == k - 1 and ts_col is not None:
+                carry.append(F.col("_prevts").alias("pts"))
+            if j < k - 1:
+                carry.append(F.col(f"_e{j + 1}").alias("nxt"))
+            base = base.withColumn(
+                f"_stop{j}",
+                F.min(
+                    F.when(~F.col(f"_s{j}") | ~F.col("_cont"), F.struct(*carry))
+                ).over(fwd1),
+            )
+        ok = F.col(f"_s{j}") & (F.lit(True) if j == 0 else F.col("_cont"))
+        if j == k - 1:
+            e = F.when(ok, _done(j))
+        elif quant[j] == "1":
+            e = F.when(ok, F.lead(F.col(f"_e{j + 1}"), 1).over(w))
+        else:
+            # intermediate +: next step binds at the stop row; its
+            # carried E_{j+1} already encodes that row's s/cont checks
+            # (a gap-stop carries a null). No stop ⇒ run hits the
+            # partition end ⇒ nothing to bind.
+            e = F.when(ok, F.col(f"_stop{j}")["nxt"])
+        base = base.withColumn(f"_e{j}", e)
 
-    sel_ts = [F.col(ts_col).cast("long").alias("ts_first")] if ts_col else []
-    cur = base.filter("_s0").select(
+    cond = F.col("_s0") & F.col("_e0").isNotNull() & F.col("_e0")[
+        "end_id"
+    ].isNotNull()
+    sel = [
         *keys,
         idl.alias("start_id"),
-        *sel_ts,
-        _next_b(0).alias("_b"),
-    )
-
-    def _chain(lhs: DataFrame, rhs: DataFrame, keep: list[Column | str]) -> DataFrame:
-        rhs = rhs.withColumnsRenamed({kk: f"_r_{kk}" for kk in keys})
-        cond = lhs["_b"] == rhs["_rid"]
-        for kk in keys:
-            cond = cond & (lhs[kk] == rhs[f"_r_{kk}"])
-        return lhs.join(rhs, cond, "inner").select(*keep)
-
-    ts_keep = ["ts_first"] if ts_col else []
-    for j in range(1, k - 1):
-        # _cont: binding after a '1' step is contiguous by id
-        # arithmetic; after a '+' step it rejects gap-terminated runs
-        rhs = base.filter(F.col(f"_s{j}") & F.col("_cont")).select(
-            *keys,
-            idl.alias("_rid"),
-            _next_b(j).alias("_bn"),
-        )
-        cur = _chain(
-            cur, rhs,
-            [*keys, "start_id", *ts_keep, F.col("_bn").alias("_b")],
-        ).filter(F.col("_b").isNotNull())
-    # final step: bind and resolve end_id on its row
-    rhs = base.filter(F.col(f"_s{k - 1}") & F.col("_cont")).select(
-        *keys,
-        idl.alias("_rid"),
-        _end_id(k - 1).alias("_eid"),
-    )
-    cur = _chain(
-        cur, rhs,
-        [*keys, "start_id", *ts_keep, F.col("_eid").alias("end_id")],
-    )
-    if ts_col is None:
-        return cur.select(*keys, "start_id", "end_id")
-    # ts_last lives on the end row — one more (key, id) join
-    rhs = base.select(
-        *keys,
-        F.col(id_col).cast("long").alias("_rid"),
-        F.col(ts_col).cast("long").alias("ts_last"),
-    )
-    cur = cur.withColumn("_b", F.col("end_id"))
-    out = _chain(
-        cur, rhs,
-        [*keys, "start_id", "end_id", "ts_first", "ts_last"],
-    )
-    if within is not None:
-        out = out.filter(F.col("ts_last") - F.col("ts_first") <= within)
-    return out.select(*keys, "start_id", "end_id", "ts_first", "ts_last")
+        F.col("_e0")["end_id"].alias("end_id"),
+    ]
+    if ts_col is not None:
+        sel += [
+            tsl.alias("ts_first"),
+            F.col("_e0")["ts_last"].alias("ts_last"),
+        ]
+        if within is not None:
+            cond = cond & (
+                F.col("_e0")["ts_last"] - tsl <= F.lit(within)
+            )
+    return base.withColumn("_match", cond).filter("_match").select(*sel)
 
 
 def _match_events_skip(
@@ -286,69 +297,59 @@ def _match_events_skip(
     within: int | None,
 ) -> DataFrame:
     """skip-till-next-match: greedy-earliest step binding via
-    next-occurrence pointers.
+    next-occurrence pointers — ZERO-JOIN plan (r8).
 
-    ``_nxt{j}`` at a row = the smallest id STRICTLY AFTER the row whose
-    step-j predicate holds: a running min of step-j ids over the
-    (currentRow, unboundedFollowing) frame, shifted back one row with
-    lead() — both in the same keyed Window (one exchange). The greedy
-    chain b1 = _nxt1(start), b_j = _nxt{j}(row at b_{j-1}) is then k-2
-    equi joins on (key, id): each start row matches exactly one row per
-    join, so cost is O(starts × k) — the quadratic "all pairs within
-    the span" shape never appears in the plan (plan-tested)."""
+    ``_p{j}`` at a row = a struct describing the greedy completion of
+    steps j..k-1 binding STRICTLY AFTER the row: a running min over
+    the (1, unboundedFollowing) frame of
+    ``struct(id, <completion>)`` on step-j rows. The struct compares
+    on the (per-key unique) id, so
+    the min IS the earliest step-j row — and it CARRIES that row's
+    already-computed ``_p{j+1}`` completion, so the whole greedy chain
+    b1 = nxt1(start), b2 = nxt2(b1), … composes right-to-left inside
+    one keyed Window stack: k-1 linear passes over the sorted
+    partitions, one exchange, no self-joins. (The r7 formulation
+    chained bare id pointers through k-2 equi-joins plus a ts_last
+    fetch join, each arm recomputing the scan + window pipeline —
+    3 scans of the events table in the cep_skip plan; measured 2.3 →
+    ~1.3 s at sf1.0, plan → 1 scan + 0 joins.) Greedy-earliest still
+    means a null anywhere in
+    the carried chain (no later step-j row / incomplete suffix) kills
+    the start — never backtracks, so ``within`` stays exact."""
     k = len(steps)
+    idl = F.col(id_col).cast("long")
     w = Window.partitionBy(*keys).orderBy(id_col)
-    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # min over (1 FOLLOWING, ∞) ≡ lead(min over (currentRow, ∞), 1)
+    # in one Window node instead of two
+    fwd1 = w.rowsBetween(1, Window.unboundedFollowing)
     base = df
     for j, s in enumerate(steps):
         base = base.withColumn(
             f"_s{j}", F.coalesce(s.cast("boolean"), F.lit(False))
         )
-    for j in range(1, k):
-        nxt_here = F.min(
-            F.when(F.col(f"_s{j}"), F.col(id_col).cast("long"))
-        ).over(fwd)
-        base = base.withColumn(f"_nxt{j}", F.lead(nxt_here, 1).over(w))
-    sel_ts = [F.col(ts_col).cast("long").alias("ts_first")] if ts_col else []
-    cur = base.filter("_s0").select(
-        *keys,
-        F.col(id_col).cast("long").alias("start_id"),
-        *sel_ts,
-        F.col("_nxt1").alias("_b"),
-    )
-
-    def _chain(lhs: DataFrame, rhs: DataFrame, keep: list[str]) -> DataFrame:
-        """Equi-join lhs._b == rhs._rid on (keys, id): renamed join
-        columns keep the self-join unambiguous."""
-        rhs = rhs.withColumnsRenamed({kk: f"_r_{kk}" for kk in keys})
-        cond = lhs["_b"] == rhs["_rid"]
-        for kk in keys:
-            cond = cond & (lhs[kk] == rhs[f"_r_{kk}"])
-        return lhs.join(rhs, cond, "inner").select(*keep)
-
-    for j in range(2, k):
-        rhs = base.select(
-            *keys,
-            F.col(id_col).cast("long").alias("_rid"),
-            F.col(f"_nxt{j}").alias("_bn"),
+    tsl = F.col(ts_col).cast("long") if ts_col else None
+    # right-to-left completion structs: _p{j} = earliest step-j row
+    # strictly after this one, carrying (end_id [, ts_last]) of the
+    # greedy suffix from there
+    for j in range(k - 1, 0, -1):
+        if j == k - 1:
+            fields = [idl.alias("sid"), idl.alias("end_id")]
+            if ts_col is not None:
+                fields.append(tsl.alias("ts_last"))
+        else:
+            nxt = F.col(f"_p{j + 1}")
+            fields = [idl.alias("sid"), nxt["end_id"].alias("end_id")]
+            if ts_col is not None:
+                fields.append(nxt["ts_last"].alias("ts_last"))
+        base = base.withColumn(
+            f"_p{j}",
+            F.min(F.when(F.col(f"_s{j}"), F.struct(*fields))).over(fwd1),
         )
-        cur = _chain(
-            cur, rhs,
-            [*keys, "start_id", *(["ts_first"] if ts_col else []),
-             F.col("_bn").alias("_b")],
-        ).filter(F.col("_b").isNotNull())
-    cur = cur.filter(F.col("_b").isNotNull())
-    if ts_col is None:
-        return cur.select(*keys, "start_id", F.col("_b").alias("end_id"))
-    rhs = base.select(
-        *keys,
-        F.col(id_col).cast("long").alias("_rid"),
-        F.col(ts_col).cast("long").alias("ts_last"),
-    )
-    out = _chain(
-        cur, rhs,
-        [*keys, "start_id", "ts_first", F.col("_b").alias("end_id"), "ts_last"],
-    )
-    if within is not None:
-        out = out.filter(F.col("ts_last") - F.col("ts_first") <= within)
-    return out.select(*keys, "start_id", "end_id", "ts_first", "ts_last")
+    p1 = F.col("_p1")
+    cond = F.col("_s0") & p1["end_id"].isNotNull()
+    sel = [*keys, idl.alias("start_id"), p1["end_id"].alias("end_id")]
+    if ts_col is not None:
+        sel += [tsl.alias("ts_first"), p1["ts_last"].alias("ts_last")]
+        if within is not None:
+            cond = cond & (p1["ts_last"] - tsl <= F.lit(within))
+    return base.withColumn("_match", cond).filter("_match").select(*sel)
