@@ -153,6 +153,45 @@ def test_minhash_lsh_vs_duckdb(docs, ddb):
     assert {"id_a", "id_b"} == set(pairs.columns)
 
 
+def test_lsh_hot_bucket_cap(spark):
+    """Skew fixture (VERDICT r7 #4): one boilerplate bucket of ~10³
+    docs must not go quadratic — the rank cap bounds its bucket-local
+    pairs at max_bucket(max_bucket−1)/2 per band; normal-sized buckets
+    are untouched (capped output == uncapped output on them)."""
+    n_hot, n_norm = 1000, 40
+    rows = [(i, "the same boilerplate footer text " * 3) for i in range(n_hot)]
+    # normal docs: distinct texts, some near-dup pairs
+    for j in range(n_norm):
+        rows.append((n_hot + j, f"unique doc {j} about topic {j % 7} " * 4))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    sigs = dedup.minhash_signatures(sh, "doc_id", k=16)
+    cap = 32
+    capped = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", bands=4, rows_per_band=4, max_bucket=cap
+    ).toPandas()
+    # identical boilerplate ⇒ identical signatures ⇒ one bucket per
+    # band; uncapped would emit ~n_hot²/2 pairs, capped ≤ cap²/2 · bands
+    hot = capped[(capped.id_a < n_hot) & (capped.id_b < n_hot)]
+    assert len(hot) <= cap * (cap - 1) // 2, len(hot)
+    assert len(hot) > 0  # the boilerplate cluster is still represented
+    # kept members are the deterministic smallest ids
+    assert set(hot.id_a) | set(hot.id_b) <= set(range(cap))
+    # normal buckets: cap is a no-op — pair set identical to uncapped
+    norm_docs = docs.filter(F.col("doc_id") >= n_hot)
+    sh_n = dedup.word_shingles(norm_docs, "doc_id", "text", n=3)
+    sigs_n = dedup.minhash_signatures(sh_n, "doc_id", k=16)
+    with_cap = dedup.lsh_candidate_pairs(
+        sigs_n, "doc_id", bands=4, rows_per_band=4, max_bucket=cap
+    ).toPandas()
+    no_cap = dedup.lsh_candidate_pairs(
+        sigs_n, "doc_id", bands=4, rows_per_band=4, max_bucket=None
+    ).toPandas()
+    a = set(map(tuple, with_cap[["id_a", "id_b"]].to_numpy()))
+    b = set(map(tuple, no_cap[["id_a", "id_b"]].to_numpy()))
+    assert a == b and len(a) > 0
+
+
 def test_jaccard_pairs_vs_duckdb(docs, ddb):
     sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
     got = dedup.ngram_jaccard_pairs(sh, "doc_id", threshold=0.05).toPandas()
@@ -553,16 +592,20 @@ def test_ngram_contamination_vs_duckdb(docs, ddb):
 
 
 def test_ngram_contamination_plan(docs):
-    """Scale shape: probe grams and the hit table are broadcast; the
-    only hash shuffles are the tiny probe distinct and the per-doc hit
-    re-aggregation — never a corpus-sized gram exchange or self-join."""
+    """Scale shape: probe grams are broadcast (bounded by the eval
+    suite); the hits join is AQE-chosen — the r7 forced broadcast of
+    the data-dependent hit table is gone (VERDICT r7 #5) — and there
+    is never a corpus-sized gram self-join or cartesian."""
     from windflow_spark.plans import audit
 
     probes = docs.filter(F.col("doc_id") % 20 == 0)
     out = text.ngram_contamination(docs, probes, n=13)
-    assert audit.has_broadcast_join(out)
+    assert audit.has_broadcast_join(out)  # the probe-grams side
     assert not audit.has_cartesian(out)
-    assert audit.count_exchanges(out) <= 2, audit.physical_plan(out)
+    # exactly ONE forced broadcast in the logical plan — the probe
+    # grams; the hits join carries no hint (strategy is AQE's call)
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("strategy=broadcast") == 1, logical
 
 
 # ---- connected components / transitive dedup (r7) -------------------

@@ -21,7 +21,7 @@ from contextlib import contextmanager
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from windflow_spark.functions.text import fingerprint, ngram_array, tokens
@@ -168,6 +168,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     rows_per_band: int = 4,
     persist: bool = True,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Band the wide signature (band b = columns m{b*r}..m{b*r+r-1};
     band key = md5 of their comma-joined values) and emit candidate
@@ -178,7 +179,22 @@ def lsh_candidate_pairs(
     ``persist``: both self-join sides re-evaluate the signature
     pipeline (tokenize → shingle → k-way min-agg) — Spark's exchange
     reuse does not unify aliased subtrees — so the tiny signature table
-    (docs × k longs) is persisted by default to compute it once."""
+    (docs × k longs) is persisted by default to compute it once.
+
+    ``max_bucket`` caps DEGENERATE buckets (guide §2.5 — a single
+    enormous key that AQE cannot split): a bucket with B members
+    yields B(B-1)/2 bucket-local pairs, and boilerplate-heavy corpora
+    produce buckets of 10⁵+ identical band keys at 100 TB, turning the
+    band join quadratic. Each bucket keeps its ``max_bucket``
+    smallest-id members for pair formation (deterministic rank cap;
+    the rank window shares the join's (band, band_key) exchange, so
+    normal buckets add one linear window pass and lose nothing).
+    Recall tradeoff: members of an over-full bucket beyond the cap
+    lose THAT band's votes — but a bucket that large means the docs
+    are near-identical boilerplate, which the capped members still
+    represent (any kept pair transitively links through
+    `connected_components`/the keep-list greedy pass); other bands
+    still vote independently. ``None`` disables the cap."""
     if persist:
         from pyspark.storagelevel import StorageLevel
 
@@ -201,6 +217,13 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         id_col, F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "bb.band", "bb.band_key")
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_key").orderBy(id_col)
+        banded = (
+            banded.withColumn("_bk_rank", F.row_number().over(w))
+            .filter(F.col("_bk_rank") <= max_bucket)
+            .drop("_bk_rank")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -374,6 +397,15 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the superseded round's checkpointed RDD is dead once `jump`
+        # replaces it — unpersist so a slow-converging graph doesn't
+        # accumulate O(rounds) checkpoints in executor storage
+        # (ADVICE r7 #3); the initial `labels` has no checkpoint to
+        # free only on round 0's entry, so this is safe unconditionally
+        try:
+            labels.unpersist()
+        except Exception:
+            pass
         labels = jump
         if changed == 0:
             break
@@ -381,6 +413,12 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds"
         )
+    try:
+        # the symmetrized edge checkpoint is dead once the loop exits:
+        # the returned frame reads only the final labels checkpoint
+        sym.unpersist()
+    except Exception:
+        pass
     return labels.select(
         F.col("_id").alias("id"), F.col("_c").alias("component")
     )

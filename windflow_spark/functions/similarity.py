@@ -270,8 +270,12 @@ def kmeans_centroids(
     count per cell, k×(dim+1) partials — the only shuffle), centroids
     collected to the driver (k×dim floats, bounded). Empty cells keep
     their previous centroid; the assignment UDF re-normalizes, so the
-    raw member mean is the spherical update. Deterministic end to end
-    (md5 init, numpy/BLAS refinement on fixed partition data)."""
+    raw member mean is the spherical update. Deterministic for a FIXED
+    partitioning (md5 init is layout-free, but the per-cell F.avg over
+    doubles commits to partition-level summation order, so the learned
+    codebook can drift across partition counts/AQE layouts — ADVICE r7
+    #4; the ann_ivf_kmeans gate asserts the recall CLAIM column, whose
+    floor absorbs that drift, not codebook bytes)."""
     dim = corpus.select(F.size(vec_col)).first()[0]
     cent_rows = (
         corpus.select(id_col, vec_col)

@@ -281,7 +281,9 @@ def ngram_contamination(
     (doc, gram) shuffle), inner-joins the broadcast set, and
     re-aggregates per doc: the only shuffle carries MATCHED grams,
     proportional to contamination, not corpus size. The hit table
-    (contaminated docs only) is broadcast back onto the corpus."""
+    (contaminated docs only) joins back onto the corpus with the
+    strategy left to AQE — it is data-dependent and may be large under
+    heavy contamination, so it is deliberately NOT hint-broadcast."""
     ptc = probe_text_col or text_col
     dcol = normalize_text(text_col) if normalize else F.col(text_col)
     pcol = normalize_text(ptc) if normalize else F.col(ptc)
@@ -297,8 +299,15 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
+    # the hits side is DATA-DEPENDENT (one row per contaminated doc):
+    # under heavy contamination it approaches corpus size, and a forced
+    # broadcast hint would bypass the size threshold and OOM the driver
+    # at the 100 TB posture (VERDICT r7 #1) — let AQE pick the strategy
+    # from the aggregate's actual runtime size (it still broadcasts
+    # when hits are small, which is the common case). The probe-grams
+    # broadcast above stays hinted: bounded by the eval-suite size.
     return (
-        df.join(F.broadcast(hits), id_col, "left")
+        df.join(hits, id_col, "left")
         .withColumn(
             "n_hits", F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
         )

@@ -123,11 +123,16 @@ def stream_exact_dedup(
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            cand = pdf.nsmallest(1, id_name)
+            # sort_values, not nsmallest: nsmallest raises TypeError on
+            # non-numeric dtypes, but keeper_id may be ANY orderable
+            # column, e.g. a string doc id (ADVICE r7 #1)
+            cand = pdf.sort_values(id_name, kind="stable").head(1)
             best = (
                 cand
                 if best is None
-                else pd.concat([best, cand]).nsmallest(1, id_name)
+                else pd.concat([best, cand])
+                .sort_values(id_name, kind="stable")
+                .head(1)
             )
         if best is not None:
             state.update((1,))
