@@ -176,10 +176,12 @@ def lsh_candidate_pairs(
     bucket-local — a (band, band_key) hash join, never a global cross
     product.
 
-    ``persist``: both self-join sides re-evaluate the signature
-    pipeline (tokenize → shingle → k-way min-agg) — Spark's exchange
-    reuse does not unify aliased subtrees — so the tiny signature table
-    (docs × k longs) is persisted by default to compute it once.
+    ``persist``: both self-join sides re-evaluate the banding pipeline
+    (tokenize → shingle → k-way min-agg → band + cap) — Spark's
+    exchange reuse does not unify aliased subtrees — so the tiny
+    BANDED table (docs × bands narrow rows, post-cap) is persisted by
+    default to compute it once; persisting after the cap also runs the
+    cap's rank window once instead of once per join arm.
 
     ``max_bucket`` caps DEGENERATE buckets (guide §2.5 — a single
     enormous key that AQE cannot split): a bucket with B members
@@ -195,10 +197,6 @@ def lsh_candidate_pairs(
     represent (any kept pair transitively links through
     `connected_components`/the keep-list greedy pass); other bands
     still vote independently. ``None`` disables the cap."""
-    if persist:
-        from pyspark.storagelevel import StorageLevel
-
-        signatures = _track_persist(signatures, StorageLevel.MEMORY_AND_DISK)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -218,12 +216,18 @@ def lsh_candidate_pairs(
         id_col, F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "bb.band", "bb.band_key")
     if max_bucket is not None:
+        # row_number ≤ cap compiles to WindowGroupLimit (a per-bucket
+        # top-k, not a full sort of the banded table)
         w = Window.partitionBy("band", "band_key").orderBy(id_col)
         banded = (
             banded.withColumn("_bk_rank", F.row_number().over(w))
             .filter(F.col("_bk_rank") <= max_bucket)
             .drop("_bk_rank")
         )
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        banded = _track_persist(banded, StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
