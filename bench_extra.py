@@ -120,6 +120,83 @@ def plans(outdir: str, sf_dir: str, names: list[str]) -> None:
         print(f"wrote {out / f'{name}.txt'}", flush=True)
 
 
+def skew(reps: int = 3) -> None:
+    """Zipf-hot-key head-to-head (VERDICT r7 #7): the amplified sf
+    event stream re-keyed so ONE key carries ~50% of all rows, run
+    through (a) the DIRECT sliding top-k (assign_wids explode +
+    whole-group collect_list slice) vs (b) the pane_topk router
+    (per-pane pre-top-k, ≤ k structs per (key, pane) cross the
+    (key, gwid) exchange), and (c) direct single-stage sliding
+    sum/count vs (d) the salted win_mapreduce two-stage. Outputs are
+    asserted identical pairwise; the timing shows what the routers buy
+    on skewed data. bench.py is frozen, so this lives here; numbers go
+    to NOTES.md."""
+    import bench
+    from pyspark.sql import functions as F
+
+    from windflow_spark.operators.pane_farm import pane_topk
+    from windflow_spark.operators.win_mapreduce import win_mapreduce
+    from windflow_spark.operators.windows import (
+        WinSpec, epoch_us, win_seq, windowed_topk,
+    )
+
+    spark = _spark()
+    bench.materialize_amplified(spark, SF_DIR, bench.AMP)
+    ev = (
+        spark.read.parquet(bench._amp_path(bench.AMP))
+        .withColumn("us", epoch_us("ts"))
+        .withColumn(
+            # deterministic Zipf-ish: ~50% of rows land on one hot key,
+            # the rest spread over 64 cold keys
+            "zk",
+            F.when(F.pmod(F.xxhash64("event_id"), F.lit(2)) == 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), F.pmod(F.col("user_id"), F.lit(64)))),
+        )
+    )
+    spec = WinSpec("tb", 3_600_000_000, 900_000_000)
+    pairs = {
+        "topk_direct": windowed_topk(
+            ev, ["zk"], "us", spec, order_col="value",
+            payload=["event_id", "value"], k=3,
+        ).select("zk", "gwid", "rnk", "event_id", "value"),
+        "topk_pane": pane_topk(
+            ev, ["zk"], "us", spec, order_col="value", id_col="event_id", k=3
+        ).select("zk", "gwid", "rnk", "event_id", "value"),
+        "agg_direct": win_seq(
+            ev, ["zk"], "us", spec,
+            aggs={"cnt": F.count(F.lit(1)), "s": F.round(F.sum("value"), 2)},
+        ),
+        "agg_mapreduce": win_mapreduce(
+            ev, ["zk"], "us", spec,
+            partial_aggs={"p_cnt": F.count(F.lit(1)), "p_s": F.sum("value")},
+            merge_aggs={"cnt": F.sum("p_cnt"), "s": F.round(F.sum("p_s"), 2)},
+            degree=8,
+        ),
+    }
+    times: dict[str, float] = {}
+    for name, df in pairs.items():
+        spark.sparkContext.setJobDescription(f"skew: {name}")
+        _noop(df)
+        r = []
+        for _ in range(reps):
+            s0 = _steal()
+            t0 = time.time()
+            _noop(df)
+            r.append((round(time.time() - t0, 3), _steal() - s0))
+        clean = [x for x in r if x[1] < STEAL_CAP]
+        times[name] = min(clean or r)[0]
+        print(json.dumps({"q": name, "sec": times[name], "reps": r}), flush=True)
+    # parity: routed == direct, row for row
+    a = pairs["topk_direct"].exceptAll(pairs["topk_pane"]).count()
+    b = pairs["topk_pane"].exceptAll(pairs["topk_direct"]).count()
+    c = pairs["agg_direct"].exceptAll(pairs["agg_mapreduce"]).count()
+    d = pairs["agg_mapreduce"].exceptAll(pairs["agg_direct"]).count()
+    print(json.dumps({"times": times, "parity_topk": a + b == 0,
+                      "parity_agg": c + d == 0, "hot_share": 0.5,
+                      "rows_in": spark.read.parquet(
+                          bench._amp_path(bench.AMP)).count()}), flush=True)
+
+
 def stream_one(cores: int) -> None:
     """Single drain in this JVM — bench.py run_stream_bench's drain,
     reproduced verbatim (same source, same operator, same RocksDB
@@ -217,6 +294,8 @@ def main() -> None:
         outdir = sys.argv[2]
         sf = sys.argv[3] if len(sys.argv) > 3 else SF_DIR
         plans(outdir, sf, sys.argv[4:])
+    elif mode == "skew":
+        skew(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
     elif mode == "stream":
         stream(int(sys.argv[2]), int(sys.argv[3]) if len(sys.argv) > 3 else 3)
     elif mode == "stream-one":
