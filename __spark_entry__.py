@@ -1120,14 +1120,20 @@ def q_cep_pattern(spark, sf_dir):
     # cast BEFORE renumbering so both window stages partition by the
     # same user_key column — ONE exchange for the whole composition
     # (renumber + match share the hash partitioning; plan-asserted)
+    # renumber by (us, event_id) — the SAME total order as (ts,
+    # event_id) since unix_micros is injective on microsecond NTZ —
+    # and hand the matcher the same attributes as order_by, so its
+    # window stack reuses the renumbering sort instead of re-sorting
+    # by wf_id (2 Sort nodes fewer, ~10% of the query)
     ids = cb_ids(
-        _events(spark, sf_dir).withColumn(
-            "user_key", F.col("user_id").cast("string")
-        ),
-        ["user_key"], [F.col("ts"), F.col("event_id")],
-    ).select("user_key", "wf_id", "event_type", epoch_us("ts").alias("us"))
+        _events(spark, sf_dir)
+        .withColumn("user_key", F.col("user_id").cast("string"))
+        .withColumn("us", epoch_us("ts")),
+        ["user_key"], [F.col("us"), F.col("event_id")],
+    ).select("user_key", "wf_id", "event_type", "us", "event_id")
     return cep_match_events(
-        ids, "user_key", "wf_id", _cep_steps(), ts_col="us"
+        ids, "user_key", "wf_id", _cep_steps(), ts_col="us",
+        order_by=[F.col("us"), F.col("event_id")],
     )
 
 
@@ -1169,15 +1175,18 @@ def q_cep_skip(spark, sf_dir):
     span bound is exact). Plan: one keyed window computing per-step
     next-occurrence pointers + equi joins chaining them — cost
     O(starts × k), never a per-span pair product (plan-tested)."""
+    # (us, event_id) renumbering + order_by: reuse the renumbering
+    # sort in the matcher's window stack (see q_cep_pattern)
     ids = cb_ids(
-        _events(spark, sf_dir).withColumn(
-            "user_key", F.col("user_id").cast("string")
-        ),
-        ["user_key"], [F.col("ts"), F.col("event_id")],
-    ).select("user_key", "wf_id", "event_type", epoch_us("ts").alias("us"))
+        _events(spark, sf_dir)
+        .withColumn("user_key", F.col("user_id").cast("string"))
+        .withColumn("us", epoch_us("ts")),
+        ["user_key"], [F.col("us"), F.col("event_id")],
+    ).select("user_key", "wf_id", "event_type", "us", "event_id")
     return cep_match_events(
         ids, "user_key", "wf_id", _cep_steps(),
         ts_col="us", within=CEP_SKIP_WITHIN, mode="skip",
+        order_by=[F.col("us"), F.col("event_id")],
     )
 
 
@@ -1224,15 +1233,18 @@ def q_cep_kleene(spark, sf_dir):
     (first following non-view) lives in the SAME keyed window as the
     step flags; binding is the (key, id) equi-join ladder — never a
     per-span product (plan-tested in tests/test_cep.py)."""
+    # (us, event_id) renumbering + order_by: reuse the renumbering
+    # sort in the matcher's window stack (see q_cep_pattern)
     ids = cb_ids(
-        _events(spark, sf_dir).withColumn(
-            "user_key", F.col("user_id").cast("string")
-        ),
-        ["user_key"], [F.col("ts"), F.col("event_id")],
-    ).select("user_key", "wf_id", "event_type", epoch_us("ts").alias("us"))
+        _events(spark, sf_dir)
+        .withColumn("user_key", F.col("user_id").cast("string"))
+        .withColumn("us", epoch_us("ts")),
+        ["user_key"], [F.col("us"), F.col("event_id")],
+    ).select("user_key", "wf_id", "event_type", "us", "event_id")
     return cep_match_events(
         ids, "user_key", "wf_id", _cep_steps(),
         ts_col="us", quantifiers="1+1",
+        order_by=[F.col("us"), F.col("event_id")],
     )
 
 

@@ -557,6 +557,39 @@ def test_match_events_kleene_plan(spark):
     assert "NestedLoop" not in plan, plan
 
 
+def test_match_events_order_by_isomorphic(spark):
+    """order_by (r8): window ordering by columns order-isomorphic to
+    the id (here `us`, which the dense ids were derived from) must
+    give identical matches in every mode — the point is only to let
+    the matcher's windows reuse the upstream renumbering sort."""
+    rng = np.random.default_rng(11)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], n),
+            "ev": rng.choice(["A", "B", "C"], n, p=[0.3, 0.5, 0.2]),
+            "us": np.arange(n, dtype=np.int64) * 7,
+        }
+    )
+    pdf["i"] = pdf.groupby("k").cumcount()  # dense ids in us order
+    df = spark.createDataFrame(pdf)
+    steps = [F.col("ev") == "A", F.col("ev") == "B", F.col("ev") == "C"]
+    for kw in (
+        {"mode": "skip"},
+        {"quantifiers": "1+1"},
+        {},
+        {"mode": "skip", "ts_col": "us", "within": 300},
+    ):
+        base = cep.match_events(df, "k", "i", steps, **kw).toPandas()
+        alt = cep.match_events(
+            df, "k", "i", steps, order_by=[F.col("us")], **kw
+        ).toPandas()
+        cols = list(base.columns)
+        b = base.sort_values(cols).reset_index(drop=True)
+        a = alt.sort_values(cols).reset_index(drop=True)
+        assert a.equals(b) and len(b) > 0, (kw, len(a), len(b))
+
+
 def test_match_events_kleene_validation(spark):
     df = _df(spark, [("a", 0, "A", 0), ("a", 1, "B", 1)])
     steps = [F.col("ev") == "A", F.col("ev") == "B"]

@@ -48,6 +48,7 @@ def match_events(
     within: int | None = None,
     mode: str = "strict",
     quantifiers: str | Sequence[str] | None = None,
+    order_by: Sequence[Column | str] | None = None,
 ) -> DataFrame:
     """All overlapping matches of ``steps`` per key.
 
@@ -90,6 +91,16 @@ def match_events(
     window as the flags, its struct carrying the next step's
     completion (r8 zero-join formulation; no self-joins, one
     exchange).
+
+    ``order_by``: optional window-ordering columns that MUST induce
+    the same per-key total order as ``id_col`` (e.g. the columns the
+    id was renumbered from — the cb_ids/TS_RENUMBERING inputs). When
+    the upstream pipeline already sorted by exactly these attributes,
+    EnsureRequirements recognizes the ordering and skips the re-sort
+    by id that the matcher's windows would otherwise insert (measured
+    ~10% of cep query time at sf1.0; results are identical by the
+    order-isomorphism contract — the engine trusts the caller here,
+    exactly like the dense-id contract).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     k = len(steps)
@@ -100,6 +111,11 @@ def match_events(
     if mode not in ("strict", "skip"):
         raise ValueError(f"unknown mode {mode!r}: expected 'strict' or 'skip'")
     quant = _normalize_quantifiers(quantifiers, k)
+    order = (
+        [F.expr(o) if isinstance(o, str) else o for o in order_by]
+        if order_by
+        else [F.col(id_col)]
+    )
     if "+" in quant:
         if mode != "strict":
             raise ValueError(
@@ -107,10 +123,12 @@ def match_events(
                 "run is defined by contiguity; combine mode='skip' with "
                 "quantifiers='1'*k instead"
             )
-        return _match_events_kleene(df, keys, id_col, steps, quant, ts_col, within)
+        return _match_events_kleene(
+            df, keys, id_col, steps, quant, ts_col, within, order
+        )
     if mode == "skip":
-        return _match_events_skip(df, keys, id_col, steps, ts_col, within)
-    w = Window.partitionBy(*keys).orderBy(id_col)
+        return _match_events_skip(df, keys, id_col, steps, ts_col, within, order)
+    w = Window.partitionBy(*keys).orderBy(*order)
     out = df
     for j, s in enumerate(steps):
         out = out.withColumn(f"_s{j}", F.coalesce(s.cast("boolean"), F.lit(False)))
@@ -163,6 +181,7 @@ def _match_events_kleene(
     quant: list[str],
     ts_col: str | None,
     within: int | None,
+    order: Sequence[Column] | None = None,
 ) -> DataFrame:
     """Strict-contiguity SEQ with greedy-maximal Kleene-plus steps —
     ZERO-JOIN plan (r8): one exchange, a stack of window expressions,
@@ -200,7 +219,7 @@ def _match_events_kleene(
     3 joins → 1 scan + 0 joins)."""
     k = len(steps)
     idl = F.col(id_col).cast("long")
-    w = Window.partitionBy(*keys).orderBy(id_col)
+    w = Window.partitionBy(*keys).orderBy(*(order or [F.col(id_col)]))
     # "first stop strictly after this row": min over the
     # (1 FOLLOWING, UNBOUNDED FOLLOWING) frame directly — identical to
     # lead(min over (currentRow, ∞), 1) but ONE Window node per step
@@ -295,6 +314,7 @@ def _match_events_skip(
     steps: Sequence[Column],
     ts_col: str | None,
     within: int | None,
+    order: Sequence[Column] | None = None,
 ) -> DataFrame:
     """skip-till-next-match: greedy-earliest step binding via
     next-occurrence pointers — ZERO-JOIN plan (r8).
@@ -318,7 +338,7 @@ def _match_events_skip(
     the start — never backtracks, so ``within`` stays exact."""
     k = len(steps)
     idl = F.col(id_col).cast("long")
-    w = Window.partitionBy(*keys).orderBy(id_col)
+    w = Window.partitionBy(*keys).orderBy(*(order or [F.col(id_col)]))
     # min over (1 FOLLOWING, ∞) ≡ lead(min over (currentRow, ∞), 1)
     # in one Window node instead of two
     fwd1 = w.rowsBetween(1, Window.unboundedFollowing)
